@@ -1,0 +1,226 @@
+"""JSON config reader + module registry.
+
+Schema identical to the reference (src/cartconfig.cpp:230-277):
+    {"data_source": {"type": ..., ...}, "modules": [{"type": ..., ...}, ...]}
+or two files (source config + modules config).  Module type strings and
+per-type parameter defaults match src/cartconfig.cpp:106-228; the
+compile-time string-hash switch becomes a plain dict registry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable
+
+import numpy as np
+
+from .. import models
+from ..runtime.module import HostModule, Module, PipelineContext
+from ..runtime.pipeline import Pipeline
+from ..runtime.system import System
+from ..sources import KITTIDataSource, SyntheticDataSource, ZEDDataSource
+from ..utils.plane_params import (
+    HistogramPeakPlaneParameterProvider,
+    StaticPlaneParameterProvider,
+)
+
+
+def _read_parameter_provider(cfg: dict):
+    """reference: src/cartconfig.cpp:56-80."""
+    ptype = cfg["type"]
+    if ptype == "static":
+        h = (cfg["horizontal_range_min"], cfg["horizontal_range_max"])
+        v = (cfg["vertical_range_min"], cfg["vertical_range_max"])
+        return StaticPlaneParameterProvider(h, v)
+    if ptype == "histogram_peak":
+        return HistogramPeakPlaneParameterProvider()
+    raise ValueError(f"unknown parameter provider type '{ptype}'")
+
+
+def create_data_source(cfg: dict):
+    """reference: src/cartconfig.cpp:82-104 (+ synthetic test source)."""
+    stype = cfg["type"]
+    if stype == "kitti":
+        return KITTIDataSource(cfg["path"], cfg.get("sequence", 0))
+    if stype == "zed":
+        return ZEDDataSource(cfg["path"], cfg.get("include_disparity", False))
+    if stype == "synthetic":
+        return SyntheticDataSource(
+            image_size=tuple(cfg.get("image_size", (96, 192))),
+            num_frames=cfg.get("num_frames", 20),
+            seed=cfg.get("seed", 0),
+        )
+    raise ValueError(f"unknown data source type '{stype}'")
+
+
+class ConfigState:
+    """Carries cross-module wiring facts during config interpretation."""
+
+    def __init__(self, image_size: tuple[int, int]):
+        self.image_size = image_size
+        self.superpixel_module: models.SuperPixelModule | None = None
+
+    def num_superpixel_labels(self) -> int:
+        if self.superpixel_module is None:
+            raise ValueError("this module requires a 'superpixels' module")
+        return self.superpixel_module.num_labels
+
+
+def _build_module(cfg: dict, st: ConfigState):
+    """Returns (Module | HostModule | None). Defaults mirror cartconfig.cpp."""
+    mtype = cfg["type"]
+    g = cfg.get
+
+    if mtype == "disparity":
+        return models.ImageDisparityModule(
+            st.image_size,
+            min_disparity=g("min_disparity", 4),
+            num_disparities=g("num_disparities", 256),
+            block_size=g("block_size", 3),
+            smoothing_radius=g("smoothing_radius", -1),
+            smoothing_iterations=g("smoothing_iterations", 5),
+        )
+    if mtype == "zed_disparity":
+        return models.ZEDImageDisparityModule(
+            smoothing_radius=g("smoothing_radius", -1),
+            smoothing_iterations=g("smoothing_iterations", 5),
+        )
+    if mtype == "disparity_derivative":
+        return models.ImageDisparityDerivativeModule()
+    if mtype == "depth":
+        return models.DepthModule()
+    if mtype == "optflow":
+        return models.ImageOpticalFlowModule(st.image_size)
+    if mtype == "superpixels":
+        direct = g("direct_clique_cost", 0.5)
+        m = models.SuperPixelModule(
+            st.image_size,
+            initial_iterations=g("initial_iterations", 18),
+            iterations=g("iterations", 6),
+            block_size=g("block_size", 12),
+            reset_iterations=g("reset_iterations", 64),
+            direct_clique_cost=direct,
+            diagonal_clique_cost=g("diagonal_clique_cost", direct / np.sqrt(2)),
+            compactness_weight=g("compactness_weight", 0.1),
+            progressive_compactness_cost=g("progressive_compactness_cost", 0.0),
+            image_weight=g("image_weight", 1.5),
+            disparity_weight=g("disparity_weight", 1.0),
+        )
+        st.superpixel_module = m
+        return m
+    if mtype == "disparity_planeseg":
+        return models.DisparityPlaneSegmentationModule(
+            _read_parameter_provider(cfg["parameter_provider"]),
+            update_interval=g("update_interval", 30),
+            reset_interval=g("reset_interval", 10),
+            use_temporal_smoothing=g("use_temporal_smoothing", False),
+            temporal_smoothing_distance=g("temporal_smoothing_distance", 3),
+        )
+    if mtype == "superpixel_disparity_planeseg":
+        return models.SuperPixelDisparityPlaneSegmentationModule(
+            _read_parameter_provider(cfg["parameter_provider"]),
+            num_labels=st.num_superpixel_labels(),
+            update_interval=g("update_interval", 30),
+            reset_interval=g("reset_interval", 10),
+            use_temporal_smoothing=g("use_temporal_smoothing", False),
+            temporal_smoothing_distance=g("temporal_smoothing_distance", 3),
+        )
+
+    # Visualization modules are host-side.
+    from ..viz import host_modules as vm
+
+    if mtype == "disparity_visualization":
+        return vm.DisparityVisualization()
+    if mtype == "disparity_derivative_visualization":
+        return vm.DerivativeVisualization()
+    if mtype == "depth_visualization":
+        return vm.DepthVisualization()
+    if mtype == "optflow_visualization":
+        return vm.OpticalFlowVisualization(points=g("points", 10))
+    if mtype == "superpixels_visualization":
+        return vm.SuperPixelVisualization()
+    if mtype == "disparity_planeseg_visualization":
+        return vm.PlaneSegmentationVisualization(
+            show_histogram=g("show_histogram", True),
+            show_unsmoothed=g("show_unsmoothed", True),
+        )
+    if mtype == "bev_planeseg_visualization":
+        return vm.BEVVisualization()
+    if mtype == "features":
+        from .registry_extra import build_features_module
+
+        return build_features_module(cfg, st)
+    if mtype == "features_visualization":
+        return vm.FeatureVisualization()
+    if mtype == "planefit":
+        from .registry_extra import build_planefit_module
+
+        return build_planefit_module(cfg, st)
+    if mtype == "planefit_visualization":
+        return vm.PlaneFitVisualization()
+    if mtype == "planecluster":
+        from .registry_extra import build_planecluster_module
+
+        return build_planecluster_module(cfg, st)
+
+    raise ValueError(f"unknown module type '{mtype}'")
+
+
+def build_system(
+    source_cfg: dict,
+    modules_cfg: list[dict],
+    *,
+    grayscale: bool = False,
+    timing=None,
+    image_sink=None,
+    max_frames: int | None = None,
+    max_in_flight: int = 4,
+    extra_fetch_keys=(),
+) -> System:
+    source = create_data_source(source_cfg)
+    h, w = source.get_image_size()
+    st = ConfigState((h, w))
+
+    modules: list[Module] = []
+    host_modules: list[HostModule] = []
+    for cfg in modules_cfg:
+        m = _build_module(cfg, st)
+        if isinstance(m, HostModule):
+            host_modules.append(m)
+        elif m is not None:
+            modules.append(m)
+
+    ctx = PipelineContext(
+        height=h,
+        width=w,
+        q=np.asarray(source.get_camera_intrinsics().q, np.float32),
+        grayscale=grayscale,
+    )
+    pipeline = Pipeline(ctx, modules)
+    return System(
+        source,
+        pipeline,
+        host_modules,
+        timing=timing,
+        image_sink=image_sink,
+        max_frames=max_frames,
+        max_in_flight=max_in_flight,
+        extra_fetch_keys=extra_fetch_keys,
+    )
+
+
+def read_system_config(*paths: str, **kwargs) -> System:
+    """One combined config, or (source_config, modules_config) pair."""
+    def load(p):
+        with open(os.path.expanduser(p)) as f:
+            return json.load(f)
+
+    if len(paths) == 1:
+        data = load(paths[0])
+        if "data_source" not in data or "modules" not in data:
+            raise ValueError("config must contain data_source and modules")
+        return build_system(data["data_source"], data["modules"], **kwargs)
+    if len(paths) == 2:
+        return build_system(load(paths[0]), load(paths[1]), **kwargs)
+    raise ValueError("expected 1 or 2 config paths")

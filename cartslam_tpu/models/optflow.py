@@ -1,0 +1,54 @@
+"""ImageOpticalFlowModule (reference: src/modules/optflow.cpp:96-132).
+
+Flow is computed between the current and previous reference (left) images.
+The previous grayscale frame lives in module state; the reference instead
+reaches into the previous run's data element (optflow.cpp:119-127).  The
+first frame emits zero flow (the reference emits a null mat; consumers only
+read flow when previous frames exist).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import color
+from ..ops import optflow as fops
+from ..runtime.module import Module, PipelineContext
+
+KEY_OPTFLOW = "optflow"
+
+
+class ImageOpticalFlowModule(Module):
+    name = "ImageOpticalFlow"
+
+    def __init__(self, image_size, levels: int = 4, search: int = 4, refine: int = 2):
+        self.image_size = image_size
+        self.levels = levels
+        self.search = search
+        self.refine = refine
+
+    def provides(self):
+        return [KEY_OPTFLOW]
+
+    def output_spec(self, ctx: PipelineContext):
+        return {KEY_OPTFLOW: jax.ShapeDtypeStruct((ctx.height, ctx.width, 2), jnp.int16)}
+
+    def init_state(self, ctx: PipelineContext):
+        import numpy as np
+
+        return {"prev_gray": np.zeros((ctx.height, ctx.width), np.uint8)}
+
+    def compute(self, ctx, step, deps, state, params, variant):
+        left = step.frame["left"]
+        gray = left if ctx.grayscale else color.bgr_to_gray(left)
+        flow = fops.dense_flow(
+            gray,
+            state["prev_gray"],
+            levels=self.levels,
+            search=self.search,
+            refine=self.refine,
+        )
+        out = fops.to_s10_5(flow)
+        out = jnp.where(step.frame_id > 1, out, jnp.zeros_like(out))
+        return {KEY_OPTFLOW: out}, {"prev_gray": gray}

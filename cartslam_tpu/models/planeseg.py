@@ -1,0 +1,132 @@
+"""DisparityPlaneSegmentationModule (pixel-level).
+
+Reference: src/modules/planeseg/planeseg.cu:246-403 and
+include/modules/planeseg.hpp:115-162.  Device path: private low-pass
+derivative + 256-bin histogram, range classification, optional temporal
+smoothing by flow-warped majority voting over the previous
+`temporal_smoothing_distance` frames' unsmoothed planes.
+
+Host path: the per-frame histogram is accumulated into a running total; at
+frame ids == 1 (mod update_interval) the parameter provider re-derives the
+classification ranges, which flow back in as a tiny host param.  Under
+pipelined dispatch the refreshed ranges take effect a few frames late —
+the reference has the same looseness with 12 concurrent runs mutating a
+shared provider (planeseg.cu:269-288).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import derivative as dops
+from ..ops import planeseg as pops
+from ..runtime.module import Dependency, Module, PipelineContext
+from ..utils.plane_params import PlaneParameterProvider
+
+KEY_DISPARITY = "disparity"
+KEY_OPTFLOW = "optflow"
+KEY_PLANES = "planes"
+KEY_PLANES_UNSMOOTHED = "planes_unsmoothed"
+KEY_PLANE_PARAMETERS = "plane_parameters"
+KEY_GLOBAL_HIST = "disp_derivative_histogram"
+KEY_FRAME_HIST = "planeseg_frame_histogram"
+
+
+class DisparityPlaneSegmentationModule(Module):
+    name = "PlaneSegmentation"
+
+    def __init__(
+        self,
+        provider: PlaneParameterProvider,
+        update_interval: int = 30,
+        reset_interval: int = 10,
+        use_temporal_smoothing: bool = False,
+        temporal_smoothing_distance: int = 3,
+    ):
+        self.provider = provider
+        self.update_interval = update_interval
+        self.reset_interval = reset_interval
+        self.temporal = use_temporal_smoothing
+        self.distance = temporal_smoothing_distance
+        self._running = np.zeros(256, np.int64)
+
+    def provides(self):
+        keys = [KEY_PLANES, KEY_FRAME_HIST]
+        if self.temporal:
+            keys.append(KEY_PLANES_UNSMOOTHED)
+        return keys
+
+    def requires(self):
+        deps = [Dependency(KEY_DISPARITY)]
+        if self.temporal:
+            deps.append(Dependency(KEY_OPTFLOW))
+            for i in range(1, self.distance + 1):
+                deps.append(Dependency(KEY_PLANES_UNSMOOTHED, offset=-i))
+                if i + 1 <= self.distance:
+                    deps.append(Dependency(KEY_OPTFLOW, offset=-i))
+        return deps
+
+    def output_spec(self, ctx: PipelineContext):
+        spec = {
+            KEY_PLANES: jax.ShapeDtypeStruct((ctx.height, ctx.width), jnp.uint8),
+            KEY_FRAME_HIST: jax.ShapeDtypeStruct((256,), jnp.int32),
+        }
+        if self.temporal:
+            spec[KEY_PLANES_UNSMOOTHED] = jax.ShapeDtypeStruct(
+                (ctx.height, ctx.width), jnp.uint8
+            )
+        return spec
+
+    def host_param_spec(self, ctx: PipelineContext):
+        return {"ranges": jax.ShapeDtypeStruct((2, 2), jnp.int32)}
+
+    def initial_host_params(self, ctx: PipelineContext):
+        return {"ranges": self.provider.get().ranges_array()}
+
+    def host_fetch_keys(self):
+        return [KEY_FRAME_HIST]
+
+    def host_update(self, ctx, frame_id, fetched, system=None):
+        self._running += fetched[KEY_FRAME_HIST].astype(np.int64)
+        if frame_id % self.update_interval != 1:
+            return None
+        snapshot = self._running.copy()
+        if frame_id % (self.update_interval * self.reset_interval) == 1:
+            self._running[:] = 0
+        self.provider.update(snapshot)
+        params = self.provider.get()
+        if system is not None:
+            system.insert_global_data(KEY_PLANE_PARAMETERS, params)
+            system.insert_global_data(KEY_GLOBAL_HIST, snapshot)
+        return {"ranges": params.ranges_array()}
+
+    def compute(self, ctx, step, deps, state, params, variant):
+        deriv, hist = dops.planeseg_derivative(deps[KEY_DISPARITY])
+        planes = pops.classify(deriv, params["ranges"])
+        outputs = {KEY_FRAME_HIST: hist}
+
+        if not self.temporal:
+            outputs[KEY_PLANES] = planes
+            return outputs, {}
+
+        if self.distance > 1:
+            flow_stack = jnp.concatenate(
+                [
+                    deps[KEY_OPTFLOW][None],
+                    step.history_stack(KEY_OPTFLOW)[: self.distance - 1],
+                ],
+                axis=0,
+            )
+        else:
+            flow_stack = deps[KEY_OPTFLOW][None]
+        prev_planes = step.history_stack(KEY_PLANES_UNSMOOTHED)[: self.distance]
+        num_prev = step.history_len(KEY_PLANES_UNSMOOTHED)
+        smoothed = pops.temporal_vote(
+            planes, prev_planes, flow_stack, num_prev,
+            current_weight=1, compare_unknown=False,
+        )
+        outputs[KEY_PLANES] = smoothed
+        outputs[KEY_PLANES_UNSMOOTHED] = planes
+        return outputs, {}

@@ -1,0 +1,146 @@
+"""SuperPixelDisparityPlaneSegmentationModule.
+
+Reference: src/modules/planeseg/sp_planeseg.cu:188-389.  Pixel-level
+classification of the VERTICAL-channel derivative (channel 0 of the
+derivative module's output), optional temporal flow-warped voting with
+current-frame weight 2, then per-superpixel majority aggregation.
+
+Histogram handling follows sp_planeseg.cu:352-388: the running total
+accumulates channel 0 of the derivative module's histogram; the very first
+contribution is skipped (the reference creates-then-ignores on first use);
+parameters refresh at frame ids == 1 (mod update_interval).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import planeseg as pops
+from ..runtime.module import Dependency, Module, PipelineContext
+from ..utils.plane_params import PlaneParameterProvider
+
+KEY_SUPERPIXELS = "superpixels"
+KEY_MAX_LABEL = "superpixels_max_label"
+KEY_DERIVATIVE = "disparity_derivative"
+KEY_DERIVATIVE_HISTOGRAM = "disparity_derivative_histogram"
+KEY_OPTFLOW = "optflow"
+KEY_PLANES = "planes"
+KEY_PLANES_UNSMOOTHED = "planes_unsmoothed"
+KEY_PLANE_PARAMETERS = "plane_parameters"
+KEY_GLOBAL_HIST = "disp_derivative_histogram"
+
+
+class SuperPixelDisparityPlaneSegmentationModule(Module):
+    name = "SPPlaneSegmentation"
+
+    def __init__(
+        self,
+        provider: PlaneParameterProvider,
+        num_labels: int,
+        update_interval: int = 30,
+        reset_interval: int = 10,
+        use_temporal_smoothing: bool = False,
+        temporal_smoothing_distance: int = 3,
+    ):
+        self.provider = provider
+        self.num_labels = num_labels
+        self.update_interval = update_interval
+        self.reset_interval = reset_interval
+        self.temporal = use_temporal_smoothing
+        self.distance = temporal_smoothing_distance
+        self._running: np.ndarray | None = None
+
+    def provides(self):
+        keys = [KEY_PLANES]
+        if self.temporal:
+            keys.append(KEY_PLANES_UNSMOOTHED)
+        return keys
+
+    def requires(self):
+        deps = [
+            Dependency(KEY_SUPERPIXELS),
+            Dependency(KEY_MAX_LABEL),
+            Dependency(KEY_DERIVATIVE),
+            Dependency(KEY_DERIVATIVE_HISTOGRAM),
+        ]
+        if self.temporal:
+            deps.append(Dependency(KEY_OPTFLOW))
+            for i in range(1, self.distance + 1):
+                deps.append(Dependency(KEY_PLANES_UNSMOOTHED, offset=-i))
+                if i + 1 <= self.distance:
+                    deps.append(Dependency(KEY_OPTFLOW, offset=-i))
+        return deps
+
+    def output_spec(self, ctx: PipelineContext):
+        spec = {KEY_PLANES: jax.ShapeDtypeStruct((ctx.height, ctx.width), jnp.uint8)}
+        if self.temporal:
+            spec[KEY_PLANES_UNSMOOTHED] = jax.ShapeDtypeStruct(
+                (ctx.height, ctx.width), jnp.uint8
+            )
+        return spec
+
+    def host_param_spec(self, ctx: PipelineContext):
+        return {"ranges": jax.ShapeDtypeStruct((2, 2), jnp.int32)}
+
+    def initial_host_params(self, ctx: PipelineContext):
+        return {"ranges": self.provider.get().ranges_array()}
+
+    def host_fetch_keys(self):
+        return [KEY_DERIVATIVE_HISTOGRAM]
+
+    def host_update(self, ctx, frame_id, fetched, system=None):
+        hist = fetched[KEY_DERIVATIVE_HISTOGRAM][:, 0].astype(np.int64)  # vertical ch
+        if self._running is None:
+            # sp_planeseg.cu:364-366: first contribution is dropped.
+            self._running = np.zeros_like(hist)
+            snapshot = hist
+        else:
+            self._running += hist
+            snapshot = self._running.copy()
+        if frame_id % (self.update_interval * self.reset_interval) == 1:
+            self._running[:] = 0
+        if frame_id % self.update_interval != 1:
+            return None
+        self.provider.update(snapshot)
+        params = self.provider.get()
+        if system is not None:
+            system.insert_global_data(KEY_PLANE_PARAMETERS, params)
+            system.insert_global_data(KEY_GLOBAL_HIST, snapshot)
+        return {"ranges": params.ranges_array()}
+
+    def compute(self, ctx, step, deps, state, params, variant):
+        vert = deps[KEY_DERIVATIVE][..., 0]
+        pixel_planes = pops.classify(vert, params["ranges"])
+
+        if self.temporal:
+            if self.distance > 1:
+                flow_stack = jnp.concatenate(
+                    [
+                        deps[KEY_OPTFLOW][None],
+                        step.history_stack(KEY_OPTFLOW)[: self.distance - 1],
+                    ],
+                    axis=0,
+                )
+            else:
+                flow_stack = deps[KEY_OPTFLOW][None]
+            prev = step.history_stack(KEY_PLANES_UNSMOOTHED)[: self.distance]
+            num_prev = step.history_len(KEY_PLANES_UNSMOOTHED)
+            voted = pops.temporal_vote(
+                pixel_planes, prev, flow_stack, num_prev,
+                current_weight=2, compare_unknown=True,
+            )
+        else:
+            voted = pixel_planes
+
+        smoothed = pops.superpixel_vote(
+            voted, deps[KEY_SUPERPIXELS], self.num_labels
+        )
+
+        outputs = {KEY_PLANES: smoothed}
+        if self.temporal:
+            # sp_planeseg.cu:77: the unsmoothed output is the raw per-pixel
+            # classification; the temporal vote only feeds the label tally.
+            outputs[KEY_PLANES_UNSMOOTHED] = pixel_planes
+        return outputs, {}

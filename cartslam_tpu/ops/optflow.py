@@ -1,0 +1,118 @@
+"""Dense optical flow, TPU-native.
+
+The reference uses the NVIDIA hardware optical-flow engine (NVOF 2.0,
+src/modules/optflow.cpp:58-70) — fixed-function IP with no TPU equivalent.
+This is a pyramidal block-matching flow designed for the same downstream
+contract: int16 [H, W, 2] in S10.5 fixed point, flow measured
+current -> previous such that prev_pos = cur_pos - flow
+(consumed with >> 5 at src/modules/planeseg/planeseg.cu:215-221).
+
+Coarse-to-fine: at each pyramid level the previous image is warped by the
+upsampled flow estimate, then a (2r+1)^2 local SAD search (box-filtered
+absolute differences — all VPU-friendly dense ops) refines the estimate.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    h, w = x.shape
+    return x.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+
+def _box_sum(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    k = 2 * r + 1
+    xp = jnp.pad(x, ((r, r), (r, r)))
+    c = jnp.cumsum(xp, axis=0)
+    c = jnp.pad(c, ((1, 0), (0, 0)))
+    rows = c[k:, :] - c[:-k, :]
+    c2 = jnp.cumsum(rows, axis=1)
+    c2 = jnp.pad(c2, ((0, 0), (1, 0)))
+    return c2[:, k:] - c2[:, :-k]
+
+
+def _shift(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """out[y, x] = in[y + dy, x + dx] with edge clamping."""
+    h, w = x.shape
+    py, px = abs(dy), abs(dx)
+    xp = jnp.pad(x, ((py, py), (px, px)), mode="edge")
+    return jax.lax.dynamic_slice(xp, (py + dy, px + dx), (h, w))
+
+
+def _warp_backward(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Sample img at (p - flow[p]) with nearest-integer, clamped coords."""
+    h, w = img.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - flow[..., 1]
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - flow[..., 0]
+    yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, h - 1)
+    xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, w - 1)
+    return img[yi, xi]
+
+
+def _search_level(cur, prev_warped, radius: int, win: int):
+    """Best (dx, dy) in [-radius, radius]^2 per pixel by windowed SAD."""
+    best_cost = None
+    best_dx = jnp.zeros(cur.shape, jnp.float32)
+    best_dy = jnp.zeros(cur.shape, jnp.float32)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            cand = _shift(prev_warped, -dy, -dx)  # prev sampled at p - d
+            cost = _box_sum(jnp.abs(cur - cand), win)
+            # Slight zero-motion bias stabilizes flat regions.
+            cost = cost + 0.01 * (abs(dx) + abs(dy))
+            if best_cost is None:
+                best_cost = cost
+                best_dx = jnp.full(cur.shape, float(dx))
+                best_dy = jnp.full(cur.shape, float(dy))
+            else:
+                take = cost < best_cost
+                best_cost = jnp.where(take, cost, best_cost)
+                best_dx = jnp.where(take, float(dx), best_dx)
+                best_dy = jnp.where(take, float(dy), best_dy)
+    return best_dx, best_dy
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "search", "refine", "win"))
+def dense_flow(
+    cur_gray: jnp.ndarray,
+    prev_gray: jnp.ndarray,
+    *,
+    levels: int = 4,
+    search: int = 4,
+    refine: int = 2,
+    win: int = 2,
+) -> jnp.ndarray:
+    """Gray uint8 pair -> float32 flow [H, W, 2] (x, y), current->previous."""
+    h, w = cur_gray.shape
+    m = 1 << (levels - 1)
+    ph, pw = (-h) % m, (-w) % m
+    cur = jnp.pad(cur_gray.astype(jnp.float32), ((0, ph), (0, pw)), mode="edge")
+    prev = jnp.pad(prev_gray.astype(jnp.float32), ((0, ph), (0, pw)), mode="edge")
+
+    curs, prevs = [cur], [prev]
+    for _ in range(levels - 1):
+        curs.append(_avg_pool2(curs[-1]))
+        prevs.append(_avg_pool2(prevs[-1]))
+
+    flow = jnp.zeros((*curs[-1].shape, 2), jnp.float32)
+    for lvl in range(levels - 1, -1, -1):
+        c, p = curs[lvl], prevs[lvl]
+        if lvl != levels - 1:
+            flow = 2.0 * jnp.repeat(jnp.repeat(flow, 2, axis=0), 2, axis=1)
+            flow = flow[: c.shape[0], : c.shape[1]]
+        radius = search if lvl == levels - 1 else refine
+        pw_img = _warp_backward(p, flow)
+        dx, dy = _search_level(c, pw_img, radius, win)
+        flow = flow + jnp.stack([dx, dy], axis=-1)
+
+    return flow[:h, :w]
+
+
+def to_s10_5(flow: jnp.ndarray) -> jnp.ndarray:
+    """float flow -> int16 S10.5 fixed point (x32), the NVOF output format."""
+    return jnp.clip(jnp.round(flow * 32.0), -32768, 32767).astype(jnp.int16)

@@ -1,0 +1,138 @@
+"""Plane segmentation from disparity derivatives.
+
+Pixel-level classification and temporal (optical-flow-warped) vote smoothing
+(src/modules/planeseg/planeseg.cu:160-243), plus the superpixel-aggregated
+variant (src/modules/planeseg/sp_planeseg.cu:25-184).
+
+Plane ids: HORIZONTAL=0, VERTICAL=1, UNKNOWN=2
+(include/modules/planeseg.hpp:37-41).  Classification checks the horizontal
+range first, then the vertical range, both half-open [start, end).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+DERIVATIVE_INVALID = -32768
+
+HORIZONTAL = 0
+VERTICAL = 1
+UNKNOWN = 2
+PLANE_COUNT = 3
+
+
+def classify(derivative: jnp.ndarray, ranges: jnp.ndarray) -> jnp.ndarray:
+    """Threshold derivative [H,W] int -> plane labels uint8 [H,W].
+
+    `ranges` is int32 [2, 2]: [[h_start, h_end], [v_start, v_end]]
+    (planeseg.cu:176-197: horizontal tested first, then vertical).
+    """
+    d = derivative.astype(jnp.int32)
+    valid = d != DERIVATIVE_INVALID
+    is_h = valid & (d >= ranges[0, 0]) & (d < ranges[0, 1])
+    is_v = valid & (d >= ranges[1, 0]) & (d < ranges[1, 1]) & ~is_h
+    return jnp.where(is_h, HORIZONTAL, jnp.where(is_v, VERTICAL, UNKNOWN)).astype(
+        jnp.uint8
+    )
+
+
+def _warp_coords(flow_stack: jnp.ndarray, num_prev: jnp.ndarray):
+    """Chained backward-warp coordinates for temporal voting.
+
+    flow_stack: int16 [K, H, W, 2] S10.5 optical flow; flow_stack[0] is the
+    current frame's flow (current -> previous), flow_stack[k] the k-th
+    previous frame's.  Following planeseg.cu:210-227, every flow map is
+    sampled at the ORIGINAL pixel coordinate (not the chained position), the
+    integer part (>> 5) subtracted cumulatively.
+
+    Returns (xs, ys) int32 [K, H, W]: position in the k-th previous frame,
+    and in_bounds bool [K, H, W].
+    """
+    k, h, w, _ = flow_stack.shape
+    fx = (flow_stack[..., 0].astype(jnp.int32)) >> 5
+    fy = (flow_stack[..., 1].astype(jnp.int32)) >> 5
+    cx = jnp.cumsum(fx, axis=0)
+    cy = jnp.cumsum(fy, axis=0)
+    x0 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    y0 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = x0[None] - cx
+    ys = y0[None] - cy
+    inb = (xs >= 0) & (ys >= 0) & (xs < w) & (ys < h)
+    ks = jax.lax.broadcasted_iota(jnp.int32, (k, h, w), 0)
+    inb = inb & (ks < num_prev)
+    return xs, ys, inb
+
+
+def temporal_vote(
+    current: jnp.ndarray,
+    prev_planes: jnp.ndarray,
+    flow_stack: jnp.ndarray,
+    num_prev: jnp.ndarray,
+    current_weight: int,
+    compare_unknown: bool,
+) -> jnp.ndarray:
+    """Majority vote of current plane labels with warped previous labels.
+
+    current: uint8 [H, W]; prev_planes: uint8 [K, H, W] (k-th previous
+    frame's unsmoothed planes); flow_stack per `_warp_coords`; num_prev:
+    traced scalar number of valid history entries.
+
+    current_weight: 1 for the pixel module (planeseg.cu:203-204), 2 for the
+    superpixel module (sp_planeseg.cu:82).
+    compare_unknown=False reproduces the pixel module's rule (winner is
+    argmax(H, V), UNKNOWN only when both are 0; planeseg.cu:235-238);
+    True reproduces the superpixel rule (UNKNOWN when votes[winner] <
+    votes[UNKNOWN]; sp_planeseg.cu:113-116).
+    """
+    h, w = current.shape
+    xs, ys, inb = _warp_coords(flow_stack, num_prev)
+    xs = jnp.clip(xs, 0, w - 1)
+    ys = jnp.clip(ys, 0, h - 1)
+    # Gather prev_planes[k, ys[k,i,j], xs[k,i,j]] via a flat per-k gather.
+    k = prev_planes.shape[0]
+    flat = prev_planes.reshape(k, h * w)
+    idx = (ys * w + xs).reshape(k, h * w)
+    sampled = jnp.take_along_axis(flat, idx, axis=1).reshape(k, h, w)
+
+    votes = []
+    for plane in range(PLANE_COUNT):
+        v = jnp.sum((sampled == plane) & inb, axis=0).astype(jnp.int32)
+        v = v + jnp.where(current == plane, current_weight, 0)
+        votes.append(v)
+
+    winner = jnp.where(votes[HORIZONTAL] > votes[VERTICAL], HORIZONTAL, VERTICAL)
+    wv = jnp.where(winner == HORIZONTAL, votes[HORIZONTAL], votes[VERTICAL])
+    if compare_unknown:
+        unknown = wv < votes[UNKNOWN]
+    else:
+        unknown = wv == 0
+    return jnp.where(unknown, UNKNOWN, winner).astype(jnp.uint8)
+
+
+def superpixel_vote(
+    pixel_planes: jnp.ndarray,
+    labels: jnp.ndarray,
+    num_labels: int,
+) -> jnp.ndarray:
+    """Aggregate per-pixel plane votes per superpixel and paint the winner.
+
+    Mirrors sp_planeseg.cu:119-184: per-label counts of each class, winner
+    starts at UNKNOWN, VERTICAL replaces it on strictly more votes, then
+    HORIZONTAL replaces the running max on strictly more votes.
+    """
+    flat_labels = labels.reshape(-1).astype(jnp.int32)
+    counts = []
+    for plane in range(PLANE_COUNT):
+        ones = (pixel_planes.reshape(-1) == plane).astype(jnp.int32)
+        counts.append(jnp.zeros((num_labels,), jnp.int32).at[flat_labels].add(ones))
+
+    best = jnp.full((num_labels,), UNKNOWN, jnp.int32)
+    best_votes = counts[UNKNOWN]
+    take_v = counts[VERTICAL] > best_votes
+    best = jnp.where(take_v, VERTICAL, best)
+    best_votes = jnp.where(take_v, counts[VERTICAL], best_votes)
+    take_h = counts[HORIZONTAL] > best_votes
+    best = jnp.where(take_h, HORIZONTAL, best)
+
+    return best.astype(jnp.uint8)[labels.astype(jnp.int32)]

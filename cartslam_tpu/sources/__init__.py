@@ -1,0 +1,4 @@
+from .base import CameraIntrinsics, DataSource  # noqa: F401
+from .kitti import KITTIDataSource  # noqa: F401
+from .synthetic import SyntheticDataSource  # noqa: F401
+from .zed import ZEDDataSource  # noqa: F401
