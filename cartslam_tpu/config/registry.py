@@ -106,6 +106,8 @@ def _build_module(cfg: dict, st: ConfigState):
             progressive_compactness_cost=g("progressive_compactness_cost", 0.0),
             image_weight=g("image_weight", 1.5),
             disparity_weight=g("disparity_weight", 1.0),
+            relax_phases=g("relax_phases", 1),
+            stats_refresh=g("stats_refresh", "phase"),
         )
         st.superpixel_module = m
         return m

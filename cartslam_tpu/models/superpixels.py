@@ -38,7 +38,8 @@ class SuperPixelModule(Module):
         progressive_compactness_cost: float = 0.0,
         image_weight: float = 1.5,
         disparity_weight: float = 1.0,
-        relax_phases: int = 2,
+        relax_phases: int = 1,
+        stats_refresh: str = "phase",
     ):
         if block_size < 1:
             raise ValueError("blockSize must be more than 1")
@@ -59,6 +60,7 @@ class SuperPixelModule(Module):
         self.image_weight = image_weight
         self.disparity_weight = disparity_weight
         self.relax_phases = relax_phases
+        self.stats_refresh = stats_refresh
 
         h, w = image_size
         bx = -(-w // block_size)
@@ -146,6 +148,7 @@ class SuperPixelModule(Module):
             self.direct_clique_cost,
             self.diagonal_clique_cost,
             phases=self.relax_phases,
+            stats_refresh=self.stats_refresh,
         )
         outputs = {
             KEY_SUPERPIXELS: labels,

@@ -1,0 +1,244 @@
+"""Fused census-cost + SGM path aggregation as Pallas TPU kernels.
+
+XLA-level SGM (ops/stereo.py) spends most of its time in the four
+`lax.scan` recurrences and the materialized uint8 cost volume shuffling.
+These kernels keep the census images and the path carry resident in VMEM
+and compute the hamming cost on the fly for the horizontal passes.
+
+Layout strategy (the whole trick):
+  * census images are stored TRANSPOSED [W, H] so the 128-disparity
+    matching window of column x is one contiguous SUBLANE slice
+    [x - minD - 127 : x - minD + 1, :] — dynamic sublane slicing is cheap
+    on TPU, dynamic lane slicing is not;
+  * the disparity axis is kept REVERSED (d' = D-1-d) everywhere inside the
+    kernels — the window slice arrives ascending in column = descending in
+    d — and un-reversed once at the end with a single XLA flip;
+  * horizontal passes emit S in [W, D, H]; the cost volume is emitted once
+    and transposed (XLA) to [H, D, W] for the vertical passes, whose carry
+    is [D, W] with d-neighbor shifts = sublane shifts.
+
+The recurrence is the standard SGM normalization (identical to
+ops/stereo.py::_aggregate_scan):
+    L(p,d) = C(p,d) + min(L(q,d), L(q,d±1)+P1, min_d' L(q,d') + P2)
+           - min_d' L(q,d')
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_COST_INVALID = 62
+_BIG = 1 << 20
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _recurrence(carry, cost, p1, p2):
+    """carry, cost: [D, R] int32 -> new carry [D, R] int32."""
+    m = jnp.min(carry, axis=0, keepdims=True)
+    dn = jnp.concatenate([jnp.full_like(carry[:1], _BIG), carry[:-1]], axis=0)
+    up = jnp.concatenate([carry[1:], jnp.full_like(carry[:1], _BIG)], axis=0)
+    best = jnp.minimum(jnp.minimum(carry, jnp.minimum(dn, up) + p1), m + p2)
+    return cost + best - m
+
+
+def _make_hsweep(h, w, d, pad, min_disparity, p1, p2, cols_per_step, backward):
+    """Horizontal pass kernel. Census inputs [Wpad, H] int32 (x offset by
+    `pad`); outputs S [W, D, H] int16 and (forward only) cost [W, D, H] int8.
+    """
+    nblocks = w // cols_per_step
+
+    def kernel(cl0, cl1, cr0, cr1, s_out, c_out, carry):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            carry[...] = jnp.zeros((d, h), jnp.int32)
+
+        for cc in range(cols_per_step):
+            c = cols_per_step - 1 - cc if backward else cc
+            # Global column this block element refers to.
+            blk = (nblocks - 1 - i) if backward else i
+            x = blk * cols_per_step + c
+
+            # Window of right census: columns x-minD-(D-1) .. x-minD,
+            # ascending column == descending disparity (d' = reversed).
+            # Mosaic requires 8-aligned dynamic sublane starts; the start's
+            # residue mod 8 is STATIC per in-block column, so load an
+            # aligned (d+8)-row window and slice the residue statically.
+            start = x + pad - min_disparity - (d - 1)
+            # x = blk*cols_per_step + c, so x mod 8 == c mod 8 (static).
+            r = (c + pad - min_disparity - (d - 1)) % 8
+            a0 = pl.multiple_of(start - r, 8)
+            w0 = cr0[pl.ds(a0, d + 8), :][r : r + d]
+            w1 = cr1[pl.ds(a0, d + 8), :][r : r + d]
+            rl = (c + pad) % 8
+            al = pl.multiple_of(x + pad - rl, 8)
+            l0 = cl0[pl.ds(al, 8), :][rl : rl + 1]
+            l1 = cl1[pl.ds(al, 8), :][rl : rl + 1]
+            cost = jax.lax.population_count(w0 ^ l0) + jax.lax.population_count(
+                w1 ^ l1
+            )
+            # Mask disparities reading left of column 0:
+            # valid iff x - minD - (D-1-j) >= 0  (j = sublane index).
+            j = jax.lax.broadcasted_iota(jnp.int32, (d, h), 0)
+            valid = j >= (d - 1) + min_disparity - x
+            cost = jnp.where(valid, cost, _COST_INVALID).astype(jnp.int32)
+
+            new = _recurrence(carry[...], cost, p1, p2)
+            carry[...] = new
+            s_out[c] = new.astype(jnp.int16)
+            if c_out is not None:
+                c_out[c] = cost.astype(jnp.int8)
+
+    if backward:
+        def kern(cl0, cl1, cr0, cr1, s_ref, carry):
+            kernel(cl0, cl1, cr0, cr1, s_ref, None, carry)
+        return kern
+    return kernel
+
+
+def _make_vsweep(h, wp, d, p1, p2, rows_per_step, backward):
+    """Vertical pass kernel over cost [H, D, Wpad] int8 -> S [H, D, Wpad]."""
+    nblocks = h // rows_per_step
+
+    def kernel(c_in, s_out, carry):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            carry[...] = jnp.zeros((d, wp), jnp.int32)
+
+        for rr in range(rows_per_step):
+            r = rows_per_step - 1 - rr if backward else rr
+            cost = c_in[r].astype(jnp.int32)
+            new = _recurrence(carry[...], cost, p1, p2)
+            carry[...] = new
+            s_out[r] = new.astype(jnp.int16)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("min_disparity", "num_disparities", "p1", "p2", "interpret"),
+)
+def sgm_aggregate_pallas(
+    left_census: tuple[jnp.ndarray, jnp.ndarray],
+    right_census: tuple[jnp.ndarray, jnp.ndarray],
+    *,
+    min_disparity: int,
+    num_disparities: int,
+    p1: int = 10,
+    p2: int = 120,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """4-path aggregated cost [H, W, D] int32 from census word pairs [H, W].
+
+    Drop-in replacement for hamming_cost_volume + sgm_aggregate in
+    ops/stereo.py (bit-identical recurrence, different schedule).
+    """
+    d = num_disparities
+    h, w = left_census[0].shape
+    cps = 8
+    wb = _round_up(w, cps)
+    # Left history + 8 rows of alignment slack on both sides.
+    pad = min_disparity + d - 1 + 8
+
+    # Transposed, padded census: [pad + Wb + 8, H].
+    def prep(a, fill):
+        at = jnp.transpose(a, (1, 0))  # [W, H]
+        return jnp.pad(at, ((pad, wb - w + 8), (0, 0)), constant_values=fill)
+
+    cl0, cl1 = prep(left_census[0], 0), prep(left_census[1], 0)
+    # Out-of-range reads (x-minD-d < 0) are masked in-kernel; the left pad
+    # value only needs to be *something*.
+    cr0, cr1 = prep(right_census[0], 0), prep(right_census[1], 0)
+
+    census_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    nblocks = wb // cps
+
+    fwd = pl.pallas_call(
+        _make_hsweep(h, wb, d, pad, min_disparity, p1, p2, cps, backward=False),
+        grid=(nblocks,),
+        in_specs=[census_spec] * 4,
+        out_specs=[
+            pl.BlockSpec((cps, d, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cps, d, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((wb, d, h), jnp.int16),
+            jax.ShapeDtypeStruct((wb, d, h), jnp.int8),
+        ],
+        scratch_shapes=[pltpu.VMEM((d, h), jnp.int32)],
+        interpret=interpret,
+    )
+    s_lr, cost_wdh = fwd(cl0, cl1, cr0, cr1)
+
+    bwd = pl.pallas_call(
+        _make_hsweep(h, wb, d, pad, min_disparity, p1, p2, cps, backward=True),
+        grid=(nblocks,),
+        in_specs=[census_spec] * 4,
+        out_specs=pl.BlockSpec(
+            (cps, d, h), lambda i: (nblocks - 1 - i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((wb, d, h), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((d, h), jnp.int32)],
+        interpret=interpret,
+    )
+    s_rl = bwd(cl0, cl1, cr0, cr1)
+
+    # Vertical passes on the transposed cost volume.
+    rps = 8
+    hb = _round_up(h, rps)
+    cost_hdw = jnp.transpose(cost_wdh, (2, 1, 0))  # [H, D, Wb]
+    cost_hdw = jnp.pad(cost_hdw, ((0, hb - h), (0, 0), (0, 0)))
+    vblocks = hb // rps
+
+    tb = pl.pallas_call(
+        _make_vsweep(hb, wb, d, p1, p2, rps, backward=False),
+        grid=(vblocks,),
+        in_specs=[
+            pl.BlockSpec((rps, d, wb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (rps, d, wb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((hb, d, wb), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((d, wb), jnp.int32)],
+        interpret=interpret,
+    )
+    s_tb = tb(cost_hdw)
+
+    bt = pl.pallas_call(
+        _make_vsweep(hb, wb, d, p1, p2, rps, backward=True),
+        grid=(vblocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (rps, d, wb), lambda i: (vblocks - 1 - i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (rps, d, wb), lambda i: (vblocks - 1 - i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((hb, d, wb), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((d, wb), jnp.int32)],
+        interpret=interpret,
+    )
+    s_bt = bt(cost_hdw)
+
+    # Combine in a common [H, W, D] layout and un-reverse the d axis.
+    s_h = jnp.transpose(s_lr.astype(jnp.int32) + s_rl.astype(jnp.int32), (2, 0, 1))
+    s_h = s_h[:, :w, :]  # [H, W, D]
+    s_v = jnp.transpose(s_tb.astype(jnp.int32) + s_bt.astype(jnp.int32), (0, 2, 1))
+    s_v = s_v[:h, :w, :]
+    return (s_h + s_v)[..., ::-1]

@@ -111,7 +111,9 @@ def _aggregate_scan(cost_sdr: jnp.ndarray, p1: int, p2: int) -> jnp.ndarray:
         return new, new.astype(jnp.int16)
 
     init = jnp.zeros(cost_sdr.shape[1:], jnp.int32)
-    _, out = jax.lax.scan(step, init, cost_sdr)
+    # unroll amortizes XLA's per-iteration while-loop overhead over the
+    # ~1.2k sequential steps of the horizontal paths.
+    _, out = jax.lax.scan(step, init, cost_sdr, unroll=8)
     return out  # [S, R, D] int16
 
 
@@ -152,17 +154,21 @@ def _wta(
 
     # Uniqueness (OpenCV SGBM): invalid if some d with |d - best| > 1 has
     # S[d] * (100 - uniq) < minS * 100.
+    big = jnp.int32(1 << 20)
     didx = jax.lax.broadcasted_iota(jnp.int32, s_hwd.shape, 2)
     near = jnp.abs(didx - best[..., None]) <= 1
-    masked = jnp.where(near, jnp.int32(1 << 20), s_hwd)
+    masked = jnp.where(near, big, s_hwd)
     second = jnp.min(masked, axis=-1)
     unique_ok = second * (100 - uniqueness) >= min_s * 100
 
     if subpixel:
-        bm1 = jnp.clip(best - 1, 0, d - 1)
-        bp1 = jnp.clip(best + 1, 0, d - 1)
-        sm = jnp.take_along_axis(s_hwd, bm1[..., None], axis=-1)[..., 0]
-        sp = jnp.take_along_axis(s_hwd, bp1[..., None], axis=-1)[..., 0]
+        # Masked-min selection instead of take_along_axis: per-pixel dynamic
+        # gathers are pathological on TPU; a select+reduce re-reads the
+        # volume at full VPU bandwidth instead.
+        at_m1 = didx == (best[..., None] - 1)
+        at_p1 = didx == (best[..., None] + 1)
+        sm = jnp.min(jnp.where(at_m1, s_hwd, big), axis=-1)
+        sp = jnp.min(jnp.where(at_p1, s_hwd, big), axis=-1)
         denom2 = jnp.maximum(sm + sp - 2 * min_s, 1)
         delta = ((sm - sp) * 16 + denom2) // (denom2 * 2)
         delta = jnp.where((best > 0) & (best < d - 1), delta, 0)
@@ -184,6 +190,7 @@ def _wta(
         "lr_check",
         "subpixel",
         "num_paths",
+        "backend",
     ),
 )
 def sgm_disparity(
@@ -198,17 +205,32 @@ def sgm_disparity(
     lr_check: bool = True,
     subpixel: bool = True,
     num_paths: int = 4,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Full SGM pipeline: gray uint8 pair -> int16 x16 fixed-point disparity.
 
     Matches the reference module's output contract
     (src/modules/disparity/disparity.cu:49-80): CV_16SC1, value = disparity
     * 16, invalid = -32768.
+
+    backend: 'pallas' (TPU fused kernels, bit-identical to 'xla'), 'xla',
+    or 'auto' (pallas on TPU, xla elsewhere).
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+
     cl = census_transform(left_gray)
     cr = census_transform(right_gray)
-    cost = hamming_cost_volume(cl, cr, min_disparity, num_disparities)
-    s = sgm_aggregate(cost, p1, p2, num_paths)  # [H, W, D]
+    if backend == "pallas" and num_paths == 4:
+        from .pallas.sgm import sgm_aggregate_pallas
+
+        s = sgm_aggregate_pallas(
+            cl, cr, min_disparity=min_disparity, num_disparities=num_disparities,
+            p1=p1, p2=p2,
+        )
+    else:
+        cost = hamming_cost_volume(cl, cr, min_disparity, num_disparities)
+        s = sgm_aggregate(cost, p1, p2, num_paths)  # [H, W, D]
 
     disp16, best, valid = _wta(s, min_disparity, uniqueness, subpixel)
 
@@ -219,17 +241,32 @@ def sgm_disparity(
     if lr_check:
         # Right-view WTA from the same aggregated volume:
         # S_right[x, d] = S_left[x + d + min_disparity, d].
-        dvals = (
-            jax.lax.broadcasted_iota(jnp.int32, (h, w, s.shape[-1]), 2)
-            + min_disparity
-        )
-        xs = jnp.clip(cols[..., None] + dvals, 0, w - 1)
-        s_right = jnp.take_along_axis(s, xs, axis=1)
-        best_r = jnp.argmin(s_right, axis=-1).astype(jnp.int32)
-        # For each left pixel: does the right pixel it matched agree?
-        xr = jnp.clip(cols - (best + min_disparity), 0, w - 1)
-        br = jnp.take_along_axis(best_r, xr, axis=1)
-        valid = valid & (jnp.abs(br - best) <= 1)
+        # Built with STATIC shifts (one [H, W] slice per disparity) — the
+        # equivalent take_along_axis gather costs ~1s/frame on TPU.
+        big = jnp.int32(1 << 20)
+        best_r = jnp.zeros((h, w), jnp.int32)
+        min_r = jnp.full((h, w), big)
+        for di in range(s.shape[-1]):
+            shiftw = di + min_disparity
+            col = s[:, :, di]
+            col = jnp.concatenate(
+                [col[:, shiftw:], jnp.full((h, shiftw), big, col.dtype)], axis=1
+            )
+            take = col < min_r
+            min_r = jnp.where(take, col, min_r)
+            best_r = jnp.where(take, di, best_r)
+        # Check agreement: left pixel x with disparity d matched right pixel
+        # x - d - minD; accept if |best_r(there) - d| <= 1.  Again via
+        # static shifts, selected where best == d.
+        agree = jnp.zeros((h, w), bool)
+        for di in range(s.shape[-1]):
+            shiftw = di + min_disparity
+            br = jnp.concatenate(
+                [jnp.full((h, shiftw), -99, jnp.int32), best_r[:, : w - shiftw]],
+                axis=1,
+            )
+            agree = agree | ((best == di) & (jnp.abs(br - di) <= 1))
+        valid = valid & agree
 
     out = jnp.where(valid, disp16, DISPARITY_INVALID)
     return out.astype(jnp.int16)

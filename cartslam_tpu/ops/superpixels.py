@@ -5,16 +5,22 @@ pixels into a list (device atomics + per-iteration host sync) and evaluates
 relabeling costs through device-side virtual feature objects.  None of that
 maps to TPU.  Here:
 
-  * features are *data*: per-label sufficient-statistic tables
-    (count, sum, sum-of-squares per channel) built with scatter-adds;
+  * features are *data*: ONE packed per-label sufficient-statistic table
+    [L, 1 + 2*C_total] holding (pixel count, per-channel sums,
+    per-channel sum-of-squares) for every feature — all features count the
+    same pixels, so the count column is shared;
   * every iteration is a dense synchronous sweep: all pixels evaluate the 9
     candidate labels of their 3x3 neighborhood; updates are masked to
     boundary pixels and applied in checkerboard phases (the reference's
     concurrent atomics are order-dependent; phased sync updates are the
     deterministic equivalent);
-  * costs use the delta form: since the candidate-independent baseline
-    (sum of all neighbor labels' costs, contourrelaxation.cu:130-144) drops
-    out of the argmin, cost(cand) = cliqueCost(cand)
+  * candidate stats come from ONE table gather + 8 spatial shifts
+    (stats[labels[p+off]] == gathered_image[p+off]) — no per-candidate
+    gathers; the phase's stat update is ONE fused scatter-add;
+  * costs use the delta form: the candidate-independent baseline
+    (sum of all neighbor labels' costs, contourrelaxation.cu:130-144)
+    drops out of the argmin, so
+    cost(cand) = cliqueCost(cand)
       + sum_f w_f * [c'_f(old - pixel) + c'_f(cand + pixel)
                      - c_f(old) - c_f(cand)]
     with c'(label with count 0) = 0 (gaussian.cu:163-170).
@@ -29,7 +35,6 @@ Cost models (gaussian.cu:30-43, compactness.cu:28-35):
 from __future__ import annotations
 
 import dataclasses
-import functools
 import math
 from typing import Sequence
 
@@ -39,7 +44,7 @@ import jax.numpy as jnp
 _OOB = -1
 # Candidate/neighbour traversal order = the reference's insertion order
 # (x outer, y inner; getNeighbourLabels at contourrelaxation.cu:72-101),
-# so first-minimum argmin reproduces its tie-breaking.
+# so first-strict-minimum selection reproduces its tie-breaking.
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 _DIRECT = {(-1, 0), (1, 0), (0, -1), (0, 1)}
 
@@ -71,18 +76,24 @@ def _shift(x: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
     return jax.lax.dynamic_slice(xp, (py + dy, px + dx), (h, w))
 
 
+def _shift3(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift [H, W, K] spatially with edge padding (OOB masked by caller)."""
+    h, w, k = x.shape
+    py, px = abs(dy), abs(dx)
+    xp = jnp.pad(x, ((py, py), (px, px), (0, 0)), mode="edge")
+    return jax.lax.dynamic_slice(xp, (py + dy, px + dx, 0), (h, w, k))
+
+
 def init_stats(labels: jnp.ndarray, data: jnp.ndarray, num_labels: int):
-    """(count [L], sum [L,C], sumsq [L,C]) via scatter-add."""
+    """Packed stat table [L, 1 + 2C]: count | sums | sum-squares."""
     flat = labels.reshape(-1)
     d = data.reshape(-1, data.shape[-1]).astype(jnp.float32)
-    count = jnp.zeros((num_labels,), jnp.float32).at[flat].add(1.0)
-    s = jnp.zeros((num_labels, d.shape[-1]), jnp.float32).at[flat].add(d)
-    ss = jnp.zeros((num_labels, d.shape[-1]), jnp.float32).at[flat].add(d * d)
-    return count, s, ss
+    row = jnp.concatenate([jnp.ones_like(d[:, :1]), d, d * d], axis=-1)
+    return jnp.zeros((num_labels, row.shape[-1]), jnp.float32).at[flat].add(row)
 
 
-def _gaussian_label_cost(n, s, ss):
-    """Per-label gaussian NLL cost, summed over channels / n_channels."""
+def _gaussian_cost(n, s, ss):
+    """Gaussian NLL cost summed over channels / n_channels; 0 when n == 0."""
     n_safe = jnp.maximum(n, 1.0)
     var = ss / n_safe[..., None] - (s / n_safe[..., None]) ** 2
     var = jnp.maximum(var, 1.0 / 12.0)
@@ -91,14 +102,14 @@ def _gaussian_label_cost(n, s, ss):
     return jnp.where(n > 0, cost, 0.0)
 
 
-def _compact_label_cost(n, s, ss):
+def _compact_cost(n, s, ss):
     n_safe = jnp.maximum(n, 1.0)
     per_ch = ss - (s * s) / n_safe[..., None]
     cost = jnp.sum(per_ch, axis=-1)
     return jnp.where(n > 0, cost, 0.0)
 
 
-_COST_FN = {"gaussian": _gaussian_label_cost, "compactness": _compact_label_cost}
+_COST_FN = {"gaussian": _gaussian_cost, "compactness": _compact_cost}
 
 
 def relax(
@@ -109,78 +120,107 @@ def relax(
     iterations: int,
     direct_cost: float,
     diagonal_cost: float,
-    phases: int = 2,
+    phases: int = 1,
+    stats_refresh: str = "phase",
 ) -> jnp.ndarray:
     """Run `iterations` relaxation sweeps; returns the new label image.
 
-    feature_data[i]: float32 [H, W, C_i] (compactness uses (x, y) coords,
-    appended automatically — do NOT pass it).
+    feature_data[i]: float32 [H, W, C_i] aligned with the gaussian entries
+    of feature_specs; compactness uses implicit (x, y) coords — pass specs
+    with kind='compactness' but no data.
+
+    phases: checkerboard sub-phases per sweep.  1 matches the reference's
+    fully-concurrent border update; 2 gives race-free alternating updates.
+    stats_refresh: 'phase' recomputes label statistics after every update
+    (the reference's incremental-atomics semantics); 'frame' keeps the
+    statistics fixed for the whole call — ~2x faster, slight quality drift
+    bounded by the per-frame refresh.
     """
     h, w = labels.shape
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     coords = jnp.stack([xs, ys], axis=-1)
 
-    data_list = []
-    specs = []
-    for d, spec in zip(feature_data, feature_specs):
-        if spec.kind == "compactness":
-            raise ValueError("compactness data is implicit")
-        data_list.append(d.astype(jnp.float32))
-        specs.append(spec)
+    data_list, specs = [], []
+    it = iter(feature_data)
     for spec in feature_specs:
         if spec.kind == "compactness":
             data_list.append(coords)
-            specs.append(spec)
+        else:
+            data_list.append(next(it).astype(jnp.float32))
+        specs.append(spec)
 
-    stats = [init_stats(labels, d, num_labels) for d in data_list]
+    data_all = jnp.concatenate(data_list, axis=-1)  # [H, W, C_total]
+    c_total = data_all.shape[-1]
+    # Per-feature channel slices within the packed layout.
+    ch_off = []
+    o = 0
+    for d in data_list:
+        ch_off.append((o, d.shape[-1]))
+        o += d.shape[-1]
 
-    # Progressive compactness factor per pixel (compactness.cu:183-188).
-    prog = {}
-    for i, spec in enumerate(specs):
+    def split_packed(p):
+        """packed [..., 1+2C] -> (n, per-feature (s, ss))."""
+        n = p[..., 0]
+        outs = []
+        for (off, c) in ch_off:
+            s = p[..., 1 + off : 1 + off + c]
+            ss = p[..., 1 + c_total + off : 1 + c_total + off + c]
+            outs.append((s, ss))
+        return n, outs
+
+    def feature_costs(p):
+        """Per-feature cost from a packed row/image [..., 1+2C]."""
+        n, parts = split_packed(p)
+        return [
+            _COST_FN[spec.kind](n, s, ss) for spec, (s, ss) in zip(specs, parts)
+        ]
+
+    stats0 = init_stats(labels, data_all, num_labels)
+
+    prog_factor = None
+    for spec in specs:
         if spec.kind == "compactness" and spec.progressive > 0.0:
-            prog[i] = 1.0 + spec.progressive * (h - ys) / float(h)
+            prog_factor = 1.0 + spec.progressive * (h - ys) / float(h)
+
+    pixel_row = jnp.concatenate(
+        [jnp.ones((h, w, 1), jnp.float32), data_all, data_all * data_all], axis=-1
+    )  # the packed-stat contribution of each pixel
+
+    update_stats = stats_refresh == "phase"
 
     def phase_update(labels, stats, phase, num_phases):
         nbs = [_shift(labels, dy, dx, _OOB) for (dx, dy) in _OFFSETS]
-        center = labels
         boundary = jnp.zeros((h, w), bool)
         for (dx, dy), nb in zip(_OFFSETS, nbs):
             if dx == 0 and dy == 0:
                 continue
-            boundary = boundary | ((nb != _OOB) & (nb != center))
+            boundary = boundary | ((nb != _OOB) & (nb != labels))
 
         if num_phases == 1:
-            phase_mask = jnp.ones((h, w), bool)
+            active = boundary
         else:
             pm = (
                 jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
                 + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
             ) % num_phases
-            phase_mask = pm == phase
-        active = boundary & phase_mask
+            active = boundary & (pm == phase)
 
-        # Current per-label costs (tables, cheap: [L]).
-        label_costs = [
-            _COST_FN[spec.kind](n, s, ss) for spec, (n, s, ss) in zip(specs, stats)
-        ]
+        # Current per-label costs appended to the packed table -> one gather.
+        label_cost_cols = jnp.stack(feature_costs(stats), axis=-1)  # [L, F]
+        table = jnp.concatenate([stats, label_cost_cols], axis=-1)
+        stat_img = jnp.take(table, labels, axis=0)  # ONE gather [H, W, K]
 
-        # Old-label stats at each pixel, and cost of old-minus-pixel.
-        old = labels
-        per_pixel_old_minus = []
-        per_pixel_old_cost = []
-        for (n, s, ss), d, spec, lc in zip(stats, data_list, specs, label_costs):
-            n_o = n[old]
-            s_o = s[old]
-            ss_o = ss[old]
-            c_minus = _COST_FN[spec.kind](n_o - 1.0, s_o - d, ss_o - d * d)
-            per_pixel_old_minus.append(c_minus)
-            per_pixel_old_cost.append(lc[old])
+        # Old-label per-pixel quantities (candidate-independent).
+        old_minus = feature_costs(stat_img[..., : stats.shape[-1]] - pixel_row)
+        old_cost = [stat_img[..., stats.shape[-1] + i] for i in range(len(specs))]
 
-        costs = []
+        best_cost = jnp.full((h, w), jnp.inf, jnp.float32)
+        best_label = labels
         for (dx, dy), cand in zip(_OFFSETS, nbs):
             cand_valid = cand != _OOB
             cand_c = jnp.where(cand_valid, cand, 0)
+            cand_img = _shift3(stat_img, dy, dx)
 
             # Clique cost for this candidate (contourrelaxation.cu:108-128).
             clique = jnp.zeros((h, w), jnp.float32)
@@ -192,50 +232,40 @@ def relax(
                     (nb2 != _OOB) & (nb2 != cand_c), ccost, 0.0
                 ).astype(jnp.float32)
 
+            cand_plus = feature_costs(
+                cand_img[..., : stats.shape[-1]] + pixel_row
+            )
+            cand_cost = [
+                cand_img[..., stats.shape[-1] + i] for i in range(len(specs))
+            ]
+
             total = clique
-            is_old = cand_c == old
-            for i, ((n, s, ss), d, spec) in enumerate(zip(stats, data_list, specs)):
-                n_c = n[cand_c]
-                s_c = s[cand_c]
-                ss_c = ss[cand_c]
-                c_cand = _COST_FN[spec.kind](n_c, s_c, ss_c)
-                c_plus = _COST_FN[spec.kind](n_c + 1.0, s_c + d, ss_c + d * d)
-                delta = (
-                    per_pixel_old_minus[i]
-                    + c_plus
-                    - per_pixel_old_cost[i]
-                    - c_cand
-                )
-                if i in prog:
-                    delta = delta * prog[i]
+            is_old = cand_c == labels
+            for i, spec in enumerate(specs):
+                delta = old_minus[i] + cand_plus[i] - old_cost[i] - cand_cost[i]
+                if spec.kind == "compactness" and prog_factor is not None:
+                    delta = delta * prog_factor
                 total = total + spec.weight * jnp.where(is_old, 0.0, delta)
 
             total = jnp.where(cand_valid, total, jnp.float32(jnp.inf))
-            costs.append(total)
+            # Strict < keeps the first minimum (insertion-order tie-break).
+            take = total < best_cost
+            best_cost = jnp.where(take, total, best_cost)
+            best_label = jnp.where(take, cand_c, best_label)
 
-        cost_stack = jnp.stack(costs, axis=0)  # [9, H, W]
-        best_idx = jnp.argmin(cost_stack, axis=0)  # first minimum wins
-        cand_stack = jnp.stack([jnp.where(c == _OOB, old, c) for c in nbs], axis=0)
-        new_label = jnp.take_along_axis(cand_stack, best_idx[None], axis=0)[0]
-        new_labels = jnp.where(active, new_label, labels)
+        new_labels = jnp.where(active, best_label, labels)
 
-        # Apply stat deltas for changed pixels.
-        changed = new_labels != labels
-        flat_old = labels.reshape(-1)
-        flat_new = new_labels.reshape(-1)
-        wgt = changed.reshape(-1).astype(jnp.float32)
-        new_stats = []
-        for (n, s, ss), d in zip(stats, data_list):
-            dd = d.reshape(-1, d.shape[-1])
-            n2 = n.at[flat_old].add(-wgt).at[flat_new].add(wgt)
-            s2 = s.at[flat_old].add(-dd * wgt[:, None]).at[flat_new].add(dd * wgt[:, None])
-            ss2 = (
-                ss.at[flat_old]
-                .add(-dd * dd * wgt[:, None])
-                .at[flat_new]
-                .add(dd * dd * wgt[:, None])
+        if update_stats:
+            # Incremental (-old +new) update equals a full recomputation of
+            # the segment sums; the recompute scatters HALF the elements
+            # (scatter cost on TPU ~ element count), so recompute.
+            new_stats = (
+                jnp.zeros_like(stats)
+                .at[new_labels.reshape(-1)]
+                .add(pixel_row.reshape(-1, pixel_row.shape[-1]))
             )
-            new_stats.append((n2, s2, ss2))
+        else:
+            new_stats = stats
         return new_labels, new_stats
 
     def one_iteration(carry, _):
@@ -245,7 +275,7 @@ def relax(
         return (labels, stats), None
 
     (labels, _), _ = jax.lax.scan(
-        one_iteration, (labels, stats), None, length=iterations
+        one_iteration, (labels, stats0), None, length=iterations
     )
     return labels
 
