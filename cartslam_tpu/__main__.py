@@ -22,6 +22,13 @@ def main(argv=None):
     parser.add_argument("--save-samples", action="store_true")
     parser.add_argument("--record", action="store_true")
     parser.add_argument("--show", action="store_true", help="open cv2 windows")
+    parser.add_argument("--checkpoint", default=None, help="write state checkpoints here")
+    parser.add_argument("--checkpoint-interval", type=int, default=100)
+    parser.add_argument("--resume", default=None, help="resume from a checkpoint file")
+    parser.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the run into DIR",
+    )
     parser.add_argument("--log-file", default="app.log")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
@@ -53,8 +60,17 @@ def main(argv=None):
         timing=TimingWriter(enabled=args.timing),
         image_sink=sink,
         max_frames=args.max_frames,
+        checkpoint_path=args.checkpoint,
+        checkpoint_interval=args.checkpoint_interval,
+        resume_from=args.resume,
     )
-    n = system.run()
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            n = system.run()
+    else:
+        n = system.run()
     logging.getLogger("cart").info("processed %d frames", n)
 
     if viewer is not None:

@@ -179,6 +179,7 @@ def build_system(
     max_frames: int | None = None,
     max_in_flight: int = 4,
     extra_fetch_keys=(),
+    **system_kwargs,
 ) -> System:
     source = create_data_source(source_cfg)
     h, w = source.get_image_size()
@@ -209,6 +210,7 @@ def build_system(
         max_frames=max_frames,
         max_in_flight=max_in_flight,
         extra_fetch_keys=extra_fetch_keys,
+        **system_kwargs,
     )
 
 

@@ -13,3 +13,6 @@ from .planeseg import DisparityPlaneSegmentationModule  # noqa: F401
 from .optflow import ImageOpticalFlowModule  # noqa: F401
 from .superpixels import SuperPixelModule  # noqa: F401
 from .sp_planeseg import SuperPixelDisparityPlaneSegmentationModule  # noqa: F401
+from .features import ImageFeatureDetectorModule  # noqa: F401
+from .planefit import SuperPixelPlaneFitModule  # noqa: F401
+from .planecluster import SuperPixelPlaneClusterModule  # noqa: F401

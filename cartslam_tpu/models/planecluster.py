@@ -1,0 +1,123 @@
+"""SuperPixelPlaneClusterModule — per-superpixel planes + region growing.
+
+Reference: src/modules/planecluster.cpp.  The per-label plane fits (the
+expensive part — an OpenMP RANSAC per superpixel there) are one vectorized
+device call; the region-growing merge over the ~4k-label adjacency graph
+stays on host, preserving the reference's merge rule: neighbors join a
+cluster when |d sin yaw| + |d cos yaw| < 0.2, same for pitch, and
+|d offset| < 3; clusters below 32 labels are dropped
+(planecluster.cpp:98-167).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..runtime.module import Dependency, HostModule
+from ..utils import plane_math
+
+KEY_PLANES_EQ = "planes_eq"
+
+
+@functools.partial(jax.jit, static_argnames=("num_labels",))
+def _fit(labels, depth, num_labels):
+    z = depth[..., 2]
+    valid = jnp.isfinite(z) & (z > 0.0) & (z <= 40.0)
+    planes, npts = plane_math.fit_label_planes(labels, depth, valid, num_labels)
+    return planes, npts
+
+
+def _adjacency(labels: np.ndarray, num_labels: int) -> list[set[int]]:
+    neigh: list[set[int]] = [set() for _ in range(num_labels)]
+    h, w = labels.shape
+    for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):
+        y0, y1 = max(0, -dy), min(h, h - dy)
+        x0, x1 = max(0, -dx), min(w, w - dx)
+        a = labels[y0:y1, x0:x1].reshape(-1)
+        b = labels[y0 + dy : y1 + dy, x0 + dx : x1 + dx].reshape(-1)
+        diff = a != b
+        for la, lb in set(zip(a[diff].tolist(), b[diff].tolist())):
+            neigh[la].add(lb)
+            neigh[lb].add(la)
+    return neigh
+
+
+class SuperPixelPlaneClusterModule(HostModule):
+    name = "PlaneCluster"
+
+    def __init__(self, num_labels: int, min_cluster: int = 32, min_points: int = 16):
+        self.num_labels = num_labels
+        self.min_cluster = min_cluster
+        self.min_points = min_points
+
+    def requires(self):
+        return [Dependency("superpixels"), Dependency("depth")]
+
+    def render(self, ctx, frame_id, frame, fetched, globals_):
+        labels = np.asarray(fetched["superpixels"])
+        depth = np.asarray(fetched["depth"])
+        L = self.num_labels
+
+        planes, npts = jax.device_get(_fit(jnp.asarray(labels), jnp.asarray(depth), L))
+        norms = np.linalg.norm(planes[:, :3], axis=-1)
+        ok = (npts >= self.min_points) & (norms > 0)
+
+        # Orientation stats (planecluster.cpp:57-68).
+        a, b, c, d = planes.T
+        length = np.linalg.norm(planes[:, :3], axis=-1)
+        yaw = np.arctan2(b, a)
+        pitch = np.arctan2(c, np.maximum(length, 1e-12))
+        ys, yc = np.sin(yaw), np.cos(yaw)
+        ps, pc = np.sin(pitch), np.cos(pitch)
+
+        neigh = _adjacency(labels, L)
+        assignments = np.zeros(L, np.int64)
+        clusters: list[np.ndarray] = []
+
+        for seed in range(L):
+            if assignments[seed] != 0 or not ok[seed]:
+                continue
+            similar = [seed]
+            seen = {seed}
+            frontier = set(neigh[seed])
+            while frontier:
+                other = frontier.pop()
+                seen.add(other)
+                if not ok[other]:
+                    continue
+                yaw_diff = abs(ys[seed] - ys[other]) + abs(yc[seed] - yc[other])
+                pitch_diff = abs(ps[seed] - ps[other]) + abs(pc[seed] - pc[other])
+                d_diff = abs(d[seed] - d[other])
+                if yaw_diff < 0.2 and pitch_diff < 0.2 and d_diff < 3:
+                    cur = assignments[other]
+                    if cur != 0:
+                        # Keep the more similar assignment
+                        # (planecluster.cpp:131-141).
+                        cs = clusters[cur - 1]
+                        cy = abs(np.sin(np.arctan2(cs[1], cs[0])) - ys[other]) + abs(
+                            np.cos(np.arctan2(cs[1], cs[0])) - yc[other]
+                        )
+                        cl = np.linalg.norm(cs[:3])
+                        cp_ = np.arctan2(cs[2], max(cl, 1e-12))
+                        cp = abs(np.sin(cp_) - ps[other]) + abs(np.cos(cp_) - pc[other])
+                        if cy + cp + d_diff < yaw_diff + pitch_diff + d_diff:
+                            continue
+                    similar.append(other)
+                    for nb in neigh[other]:
+                        if nb not in seen:
+                            frontier.add(nb)
+            if len(similar) < self.min_cluster:
+                continue
+            clusters.append(planes[seed])
+            for l in similar:
+                assignments[l] = len(clusters)
+
+        globals_[KEY_PLANES_EQ] = {
+            "planes": np.array(clusters) if clusters else np.zeros((0, 4)),
+            "assignments": assignments,
+        }
+        return None

@@ -88,6 +88,27 @@ class DisparityPlaneSegmentationModule(Module):
     def host_fetch_keys(self):
         return [KEY_FRAME_HIST]
 
+    def host_state(self):
+        p = self.provider.get()
+        return {
+            "running_hist": self._running.copy(),
+            "h_range": np.array(p.horizontal_range),
+            "v_range": np.array(p.vertical_range),
+        }
+
+    def restore_host_state(self, state):
+        from ..utils.plane_params import PlaneParameters
+
+        self._running = np.asarray(state["running_hist"]).astype(np.int64)
+        h = tuple(int(v) for v in state["h_range"])
+        v = tuple(int(v) for v in state["v_range"])
+        self.provider.params = PlaneParameters(
+            horizontal_range=h,
+            vertical_range=v,
+            horizontal_center=(h[0] + h[1]) // 2,
+            vertical_center=(v[0] + v[1]) // 2,
+        )
+
     def host_update(self, ctx, frame_id, fetched, system=None):
         self._running += fetched[KEY_FRAME_HIST].astype(np.int64)
         if frame_id % self.update_interval != 1:

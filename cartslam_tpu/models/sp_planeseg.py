@@ -90,6 +90,30 @@ class SuperPixelDisparityPlaneSegmentationModule(Module):
     def host_fetch_keys(self):
         return [KEY_DERIVATIVE_HISTOGRAM]
 
+    def host_state(self):
+        p = self.provider.get()
+        return {
+            "running_hist": (
+                self._running.copy() if self._running is not None else np.zeros(0)
+            ),
+            "h_range": np.array(p.horizontal_range),
+            "v_range": np.array(p.vertical_range),
+        }
+
+    def restore_host_state(self, state):
+        from ..utils.plane_params import PlaneParameters
+
+        rh = np.asarray(state["running_hist"])
+        self._running = rh.astype(np.int64) if rh.size else None
+        h = tuple(int(v) for v in state["h_range"])
+        v = tuple(int(v) for v in state["v_range"])
+        self.provider.params = PlaneParameters(
+            horizontal_range=h,
+            vertical_range=v,
+            horizontal_center=(h[0] + h[1]) // 2,
+            vertical_center=(v[0] + v[1]) // 2,
+        )
+
     def host_update(self, ctx, frame_id, fetched, system=None):
         hist = fetched[KEY_DERIVATIVE_HISTOGRAM][:, 0].astype(np.int64)  # vertical ch
         if self._running is None:

@@ -123,6 +123,13 @@ class Module:
         """Static trace variant for this frame (e.g. superpixel reset)."""
         return None
 
+    def host_state(self) -> dict:
+        """Checkpointable host-side state (running histograms etc.)."""
+        return {}
+
+    def restore_host_state(self, state: dict) -> None:
+        pass
+
     def compute(
         self,
         ctx: PipelineContext,

@@ -50,6 +50,9 @@ class System:
         image_sink=None,
         max_frames: int | None = None,
         extra_fetch_keys: Iterable[str] = (),
+        checkpoint_path: str | None = None,
+        checkpoint_interval: int = 100,
+        resume_from: str | None = None,
     ):
         self.source = source
         self.pipeline = pipeline
@@ -59,6 +62,9 @@ class System:
         self.timing = timing or TimingWriter(enabled=False)
         self.image_sink = image_sink
         self.max_frames = max_frames
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_interval = checkpoint_interval
+        self.resume_from = resume_from
         self.global_data: dict[str, Any] = {}
 
         self._fetch_keys = frozenset(
@@ -97,14 +103,29 @@ class System:
 
     def run(self, on_frame: Callable[[int, Mapping[str, np.ndarray]], None] | None = None):
         """Process the whole sequence; returns number of frames processed."""
-        state = jax.device_put(self.pipeline.init_state())
+        start_frame = 0
+        if self.resume_from is not None:
+            from .checkpoint import load_checkpoint
+
+            raw, start_frame, host_state = load_checkpoint(
+                self.resume_from, self.pipeline.init_state()
+            )
+            state = jax.device_put(raw)
+            for m in self.pipeline.modules:
+                if m.name in host_state:
+                    m.restore_host_state(host_state[m.name])
+            if hasattr(self.source, "skip"):
+                self.source.skip(start_frame)
+            log.info("resumed from %s at frame %d", self.resume_from, start_frame)
+        else:
+            state = jax.device_put(self.pipeline.init_state())
         host_params = self.pipeline.init_host_params()
 
         thread = threading.Thread(target=self._prefetch_worker, daemon=True)
         thread.start()
 
         in_flight: collections.deque = collections.deque()
-        frame_id = 0
+        frame_id = start_frame
         processed = 0
 
         sys_handle = self.timing.init_timing("system", 0).begin()
@@ -147,6 +168,19 @@ class System:
             in_flight.append((frame_id, handle, frame_np, outputs))
             while len(in_flight) >= self.max_in_flight:
                 drain_one()
+
+            if (
+                self.checkpoint_path is not None
+                and frame_id % self.checkpoint_interval == 0
+            ):
+                from .checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    self.checkpoint_path,
+                    state,
+                    frame_id,
+                    {m.name: m.host_state() for m in self.pipeline.modules},
+                )
 
         while in_flight:
             drain_one()

@@ -114,3 +114,7 @@ class ZEDDataSource(DataSource):
                 disp = np.full(self.image_size, np.inf, np.float32)
             out["zed_disparity"] = disp
         return out
+
+    def skip(self, n: int) -> None:
+        """Seek past the first n frames (checkpoint resume)."""
+        self._frame = n

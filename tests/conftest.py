@@ -1,8 +1,11 @@
-"""Test configuration: CPU backend with 8 virtual devices for sharding tests."""
+"""Test configuration: CPU backend with 8 virtual devices for sharding tests.
+
+Must run before jax initializes — tests never touch the real TPU.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

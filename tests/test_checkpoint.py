@@ -1,0 +1,54 @@
+"""Checkpoint/resume: a resumed run must reproduce the uninterrupted run."""
+
+import os
+
+import numpy as np
+
+from cartslam_tpu.config import build_system
+
+SRC = {"type": "synthetic", "image_size": [48, 96], "num_frames": 8}
+MODS = [
+    {"type": "optflow"},
+    {"type": "disparity", "num_disparities": 32, "min_disparity": 0},
+    {
+        "type": "disparity_planeseg",
+        "parameter_provider": {
+            "type": "static",
+            "horizontal_range_min": 5,
+            "horizontal_range_max": 60,
+            "vertical_range_min": -5,
+            "vertical_range_max": 5,
+        },
+        "use_temporal_smoothing": True,
+    },
+]
+
+
+def collect(system):
+    results = {}
+    system.run(on_frame=lambda fid, out: results.update({fid: out}))
+    return results
+
+
+def test_resume_reproduces_uninterrupted_run(tmp_path):
+    ckpt = str(tmp_path / "state.npz")
+
+    full = collect(build_system(SRC, MODS, extra_fetch_keys=["planes"]))
+
+    # Run to frame 4, checkpointing every frame.
+    sys_a = build_system(
+        SRC, MODS, extra_fetch_keys=["planes"], max_frames=4,
+        checkpoint_path=ckpt, checkpoint_interval=1,
+    )
+    collect(sys_a)
+    assert os.path.exists(ckpt)
+
+    # Resume and run the rest.
+    sys_b = build_system(
+        SRC, MODS, extra_fetch_keys=["planes"], resume_from=ckpt,
+    )
+    resumed = collect(sys_b)
+
+    assert sorted(resumed.keys()) == [5, 6, 7, 8]
+    for fid in (5, 6, 7, 8):
+        np.testing.assert_array_equal(resumed[fid]["planes"], full[fid]["planes"])

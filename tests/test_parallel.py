@@ -1,0 +1,80 @@
+"""Multi-device tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cartslam_tpu.ops import derivative as dops
+from cartslam_tpu.parallel.spatial import sharded_classify, sharded_derivative
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.array(devs[:8]), ("spatial",))
+
+
+def test_sharded_derivative_matches_unsharded(mesh):
+    rng = np.random.RandomState(0)
+    h, w = 32, 128  # 8 shards of width 16
+    d = rng.randint(60, 2000, (h, w)).astype(np.int16)
+    d[rng.rand(h, w) < 0.1] = -32768
+
+    ref_deriv, ref_hist = dops.directional_derivatives(jnp.array(d))
+
+    f = sharded_derivative(mesh)
+    xd = jax.device_put(jnp.array(d), NamedSharding(mesh, P(None, "spatial")))
+    out_deriv, out_hist = f(xd)
+
+    np.testing.assert_array_equal(np.array(ref_deriv), np.array(out_deriv))
+    np.testing.assert_array_equal(np.array(ref_hist), np.array(out_hist))
+
+
+def test_sharded_classify(mesh):
+    rng = np.random.RandomState(1)
+    h, w = 16, 64
+    deriv = rng.randint(-100, 100, (h, w)).astype(np.int16)
+    ranges = jnp.array([[5, 50], [-10, 5]], jnp.int32)
+
+    from cartslam_tpu.ops import planeseg as pops
+
+    ref = pops.classify(jnp.array(deriv), ranges)
+    f = sharded_classify(mesh)
+    xd = jax.device_put(jnp.array(deriv), NamedSharding(mesh, P(None, "spatial")))
+    out = f(xd, ranges)
+    np.testing.assert_array_equal(np.array(ref), np.array(out))
+
+
+def test_multiseq_batched_step(mesh):
+    """Data-parallel multi-sequence throughput mode executes under shard_map."""
+    from cartslam_tpu import models
+    from cartslam_tpu.parallel.multiseq import make_batched_step
+    from cartslam_tpu.runtime.module import PipelineContext
+    from cartslam_tpu.runtime.pipeline import Pipeline
+
+    h, w, b = 32, 64, 8
+    ctx = PipelineContext(height=h, width=w, q=np.eye(4, dtype=np.float32))
+    pipe = Pipeline(
+        ctx, [models.ImageDisparityModule((h, w), min_disparity=0, num_disparities=16)]
+    )
+    step, init_state, init_params = make_batched_step(pipe, b)
+
+    shard = NamedSharding(mesh, P("spatial"))
+    state = jax.tree.map(lambda x: jax.device_put(x, shard), init_state())
+    rng = np.random.RandomState(0)
+    frame = {
+        "left": jax.device_put(
+            rng.randint(0, 255, (b, h, w, 3), dtype=np.uint8), shard
+        ),
+        "right": jax.device_put(
+            rng.randint(0, 255, (b, h, w, 3), dtype=np.uint8), shard
+        ),
+        "frame_id": jax.device_put(np.full((b,), 2, np.int32), shard),
+    }
+    with mesh:
+        _, out = jax.jit(step)(state, frame, init_params())
+    assert out["disparity"].shape == (b, h, w)

@@ -1,0 +1,98 @@
+"""Plane math + planefit/planecluster module tests on synthetic geometry."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cartslam_tpu.utils import plane_math
+
+
+def make_scene(h=48, w=64):
+    """Two labels: a ground plane y = 2 and a wall z = 10."""
+    labels = np.zeros((h, w), np.int32)
+    labels[:, w // 2 :] = 1
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    depth = np.zeros((h, w, 3), np.float32)
+    # label 0: ground plane y=2, z varies
+    depth[..., 0] = (xs - w / 2) * 0.1
+    depth[..., 1] = 2.0
+    depth[..., 2] = 5.0 + ys * 0.2
+    # label 1: wall z=10
+    wall = labels == 1
+    depth[wall, 1] = (ys[wall] - h / 2) * 0.1
+    depth[wall, 2] = 10.0
+    return labels, depth
+
+
+def test_fit_label_planes():
+    labels, depth = make_scene()
+    valid = jnp.ones(labels.shape, bool)
+    planes, n = plane_math.fit_label_planes(
+        jnp.array(labels), jnp.array(depth), valid, 2
+    )
+    planes = np.array(planes)
+    # label 0: normal along y; plane y = 2 -> [0, ±1, 0, ∓2]
+    p0 = planes[0] * np.sign(planes[0, 1])
+    assert abs(abs(p0[1]) - 1) < 1e-3 and abs(p0[3] + 2.0) < 1e-2
+    # label 1: normal along z; z = 10
+    p1 = planes[1] * np.sign(planes[1, 2])
+    assert abs(abs(p1[2]) - 1) < 1e-3 and abs(p1[3] + 10.0) < 1e-2
+
+
+def test_inlier_counts():
+    labels, depth = make_scene()
+    valid = jnp.ones(labels.shape, bool)
+    planes = jnp.array([[0.0, 1.0, 0.0, -2.0], [0.0, 0.0, 1.0, -10.0]])
+    counts = np.array(
+        plane_math.count_plane_inliers_per_label(
+            jnp.array(labels), jnp.array(depth), valid, planes, 2, 0.05
+        )
+    )
+    n0 = (labels == 0).sum()
+    n1 = (labels == 1).sum()
+    assert counts[0, 0] == n0 and counts[1, 1] == n1
+    # Off-diagonal: only the thin geometric crossings (wall rows near y=2,
+    # ground rows near z=10) can be inliers of the other plane.
+    assert counts[0, 1] < n1 / 10 and counts[1, 0] < n0 / 10
+
+
+def _run_host_module(mod, labels, depth):
+    fetched = {"superpixels": labels, "depth": depth}
+    globals_ = {}
+    mod.render(None, 1, {}, fetched, globals_)
+    return globals_["planes_eq"]
+
+
+def test_planecluster_module():
+    from cartslam_tpu.models.planecluster import SuperPixelPlaneClusterModule
+
+    h, w, bs = 96, 128, 8
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    labels = (ys // bs) * (w // bs) + (xs // bs)
+    num_labels = labels.max() + 1
+    depth = np.zeros((h, w, 3), np.float32)
+    depth[..., 0] = xs * 0.05
+    depth[..., 1] = 1.5  # one big ground plane y=1.5
+    depth[..., 2] = 3.0 + ys * 0.05
+    mod = SuperPixelPlaneClusterModule(num_labels=int(num_labels))
+    out = _run_host_module(mod, labels.astype(np.int32), depth)
+    assert len(out["planes"]) >= 1
+    # The dominant cluster covers most labels.
+    assert (out["assignments"] > 0).mean() > 0.8
+
+
+def test_planefit_module():
+    from cartslam_tpu.models.planefit import SuperPixelPlaneFitModule
+
+    h, w, bs = 96, 128, 8
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    labels = (ys // bs) * (w // bs) + (xs // bs)
+    num_labels = labels.max() + 1
+    depth = np.zeros((h, w, 3), np.float32)
+    depth[..., 0] = xs * 0.05
+    depth[..., 1] = np.where(ys < h // 2, 1.5, 0.1 * (ys - h // 2) + 1.5)
+    depth[..., 2] = 3.0 + ys * 0.05
+    mod = SuperPixelPlaneFitModule(num_labels=int(num_labels))
+    out = _run_host_module(mod, labels.astype(np.int32), depth)
+    assert out["assignments"].shape == (num_labels,)
+    assert len(out["planes"]) >= 1
+    assert (out["assignments"] > 0).sum() >= 16
