@@ -29,6 +29,14 @@ def main(argv=None):
         "--profile", default=None, metavar="DIR",
         help="capture a jax.profiler trace of the run into DIR",
     )
+    parser.add_argument(
+        "--module-timing", action="store_true",
+        help="per-module timing rows (module-by-module execution; implies --timing)",
+    )
+    parser.add_argument(
+        "--grayscale", action="store_true",
+        help="whole-pipeline grayscale processing (CARTSLAM_IMAGE_MAKE_GRAYSCALE)",
+    )
     parser.add_argument("--log-file", default="app.log")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
@@ -57,12 +65,14 @@ def main(argv=None):
 
     system = read_system_config(
         *args.config,
-        timing=TimingWriter(enabled=args.timing),
+        timing=TimingWriter(enabled=args.timing or args.module_timing),
         image_sink=sink,
         max_frames=args.max_frames,
         checkpoint_path=args.checkpoint,
         checkpoint_interval=args.checkpoint_interval,
         resume_from=args.resume,
+        module_timing=args.module_timing,
+        grayscale=args.grayscale,
     )
     if args.profile:
         import jax

@@ -179,6 +179,7 @@ def build_system(
     max_frames: int | None = None,
     max_in_flight: int = 4,
     extra_fetch_keys=(),
+    parallel: dict | None = None,
     **system_kwargs,
 ) -> System:
     source = create_data_source(source_cfg)
@@ -224,6 +225,10 @@ def read_system_config(*paths: str, **kwargs) -> System:
         data = load(paths[0])
         if "data_source" not in data or "modules" not in data:
             raise ValueError("config must contain data_source and modules")
+        if data.get("grayscale"):
+            kwargs["grayscale"] = True
+        if "parallel" in data:
+            kwargs.setdefault("parallel", data["parallel"])
         return build_system(data["data_source"], data["modules"], **kwargs)
     if len(paths) == 2:
         return build_system(load(paths[0]), load(paths[1]), **kwargs)

@@ -49,9 +49,17 @@ def _recurrence(carry, cost, p1, p2):
     return cost + best - m
 
 
-def _make_hsweep(h, w, d, pad, min_disparity, p1, p2, cols_per_step, backward):
+def _make_hsweep(h, w, d, pad, min_disparity, p1, p2, cols_per_step, backward,
+                 real_w):
     """Horizontal pass kernel. Census inputs [Wpad, H] int32 (x offset by
     `pad`); outputs S [W, D, H] int16 and (forward only) cost [W, D, H] int8.
+
+    Columns x >= real_w are padding: their cost is forced to the UNIFORM
+    constant _COST_INVALID so the backward pass warms up through them with a
+    uniform carry — the recurrence maps a uniform carry to `cost + const -
+    const`, i.e. entering the last real column is equivalent to a zero-init
+    there.  (Without this, padded-left-census-vs-real-right-census costs
+    leaked into the last ~P2/P1 real columns whenever width % 8 != 0.)
     """
     nblocks = w // cols_per_step
 
@@ -89,7 +97,7 @@ def _make_hsweep(h, w, d, pad, min_disparity, p1, p2, cols_per_step, backward):
             # Mask disparities reading left of column 0:
             # valid iff x - minD - (D-1-j) >= 0  (j = sublane index).
             j = jax.lax.broadcasted_iota(jnp.int32, (d, h), 0)
-            valid = j >= (d - 1) + min_disparity - x
+            valid = (j >= (d - 1) + min_disparity - x) & (x < real_w)
             cost = jnp.where(valid, cost, _COST_INVALID).astype(jnp.int32)
 
             new = _recurrence(carry[...], cost, p1, p2)
@@ -140,7 +148,7 @@ def sgm_aggregate_pallas(
     p2: int = 120,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """4-path aggregated cost [H, W, D] int32 from census word pairs [H, W].
+    """4-path aggregated cost [H, W, D] int16 from census word pairs [H, W].
 
     Drop-in replacement for hamming_cost_volume + sgm_aggregate in
     ops/stereo.py (bit-identical recurrence, different schedule).
@@ -166,7 +174,8 @@ def sgm_aggregate_pallas(
     nblocks = wb // cps
 
     fwd = pl.pallas_call(
-        _make_hsweep(h, wb, d, pad, min_disparity, p1, p2, cps, backward=False),
+        _make_hsweep(h, wb, d, pad, min_disparity, p1, p2, cps, backward=False,
+                     real_w=w),
         grid=(nblocks,),
         in_specs=[census_spec] * 4,
         out_specs=[
@@ -183,7 +192,8 @@ def sgm_aggregate_pallas(
     s_lr, cost_wdh = fwd(cl0, cl1, cr0, cr1)
 
     bwd = pl.pallas_call(
-        _make_hsweep(h, wb, d, pad, min_disparity, p1, p2, cps, backward=True),
+        _make_hsweep(h, wb, d, pad, min_disparity, p1, p2, cps, backward=True,
+                     real_w=w),
         grid=(nblocks,),
         in_specs=[census_spec] * 4,
         out_specs=pl.BlockSpec(
@@ -237,8 +247,10 @@ def sgm_aggregate_pallas(
     s_bt = bt(cost_hdw)
 
     # Combine in a common [H, W, D] layout and un-reverse the d axis.
-    s_h = jnp.transpose(s_lr.astype(jnp.int32) + s_rl.astype(jnp.int32), (2, 0, 1))
+    # int16 is exact: each normalized path value <= C_max + P2, so the
+    # 4-path sum stays well under 32767.
+    s_h = jnp.transpose(s_lr + s_rl, (2, 0, 1))
     s_h = s_h[:, :w, :]  # [H, W, D]
-    s_v = jnp.transpose(s_tb.astype(jnp.int32) + s_bt.astype(jnp.int32), (0, 2, 1))
+    s_v = jnp.transpose(s_tb + s_bt, (0, 2, 1))
     s_v = s_v[:h, :w, :]
     return (s_h + s_v)[..., ::-1]

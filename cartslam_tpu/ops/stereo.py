@@ -118,7 +118,11 @@ def _aggregate_scan(cost_sdr: jnp.ndarray, p1: int, p2: int) -> jnp.ndarray:
 
 
 def sgm_aggregate(cost_dhw: jnp.ndarray, p1: int, p2: int, num_paths: int = 4):
-    """Sum of 4 directional path aggregations -> [H, W, D] int32."""
+    """Sum of 4 directional path aggregations -> [H, W, D] int16.
+
+    int16 is exact: the libSGM normalization bounds each path value by
+    C_max + P2 (= 62 + P2), so a 4-path sum stays well under 32767.
+    """
     d, h, w = cost_dhw.shape
     chwd = jnp.transpose(cost_dhw, (1, 2, 0))  # [H, W, D]
 
@@ -126,15 +130,87 @@ def sgm_aggregate(cost_dhw: jnp.ndarray, p1: int, p2: int, num_paths: int = 4):
     cw = jnp.transpose(chwd, (1, 0, 2))  # [W, H, D]
     lr = _aggregate_scan(cw, p1, p2)
     rl = _aggregate_scan(cw[::-1], p1, p2)[::-1]
-    s = (lr + rl).astype(jnp.int32)
+    s = lr + rl
     s = jnp.transpose(s, (1, 0, 2))  # [H, W, D]
 
     if num_paths >= 4:
         # Vertical paths: scan over H, rest = W.
         tb = _aggregate_scan(chwd, p1, p2)
         bt = _aggregate_scan(chwd[::-1], p1, p2)[::-1]
-        s = s + tb.astype(jnp.int32) + bt.astype(jnp.int32)
+        s = s + tb + bt
     return s
+
+
+def _shear_w_by_d(vol: jnp.ndarray, base: int, fill) -> jnp.ndarray:
+    """out[h, x, d] = vol[h, x + d + base, d] via log-decomposed W shifts.
+
+    A data-dependent gather would be pathological on TPU; a shear by the
+    lane index d decomposes into log2(D) static shifts selected by the bits
+    of d — each a full-bandwidth VPU pass over the volume.
+    """
+    h, w, d = vol.shape
+    didx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
+
+    def shift_w(v, k):
+        if k == 0:
+            return v
+        pad = jnp.full((h, min(k, w), d), fill, v.dtype)
+        return jnp.concatenate([v[:, k:, :], pad], axis=1) if k < w else (
+            jnp.full_like(v, fill)
+        )
+
+    out = shift_w(vol, base)
+    k = 1
+    while k < d:
+        out = jnp.where((didx & k) != 0, shift_w(out, k), out)
+        k *= 2
+    return out
+
+
+def _unshear_w_by_d(vol: jnp.ndarray, base: int, fill) -> jnp.ndarray:
+    """out[h, x, d] = vol[h, x - d - base, d] (inverse of _shear_w_by_d)."""
+    h, w, d = vol.shape
+    didx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
+
+    def shift_w(v, k):
+        if k == 0:
+            return v
+        pad = jnp.full((h, min(k, w), d), fill, v.dtype)
+        return jnp.concatenate([pad, v[:, :-k, :]], axis=1) if k < w else (
+            jnp.full_like(v, fill)
+        )
+
+    out = shift_w(vol, base)
+    k = 1
+    while k < d:
+        out = jnp.where((didx & k) != 0, shift_w(out, k), out)
+        k *= 2
+    return out
+
+
+def _lr_agreement(s_hwd: jnp.ndarray, best: jnp.ndarray, min_disparity: int):
+    """Left-right consistency from one aggregated volume, O(log D) passes.
+
+    Right-view WTA: S_right[x, d] = S_left[x + d + minD, d]; left pixel x
+    with winner d is kept iff |best_r[x - d - minD] - d| <= 1.
+    """
+    h, w, d = s_hwd.shape
+    big = jnp.int16(jnp.iinfo(jnp.int16).max) if s_hwd.dtype == jnp.int16 else (
+        jnp.array(1 << 20, s_hwd.dtype)
+    )
+    sheared = _shear_w_by_d(s_hwd, min_disparity, big)
+    best_r = jnp.argmin(sheared, axis=-1).astype(jnp.int32)  # [H, W] right coords
+
+    didx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
+    # Indicator in right coords, then unshear back to left coords: column x
+    # at lane d receives I[x - d - minD, d] — exactly the right pixel that
+    # left pixel x matched at disparity d.
+    ind = (jnp.abs(best_r[..., None] - didx) <= 1).astype(jnp.int8)
+    ind_left = _unshear_w_by_d(ind, min_disparity, jnp.int8(0))
+    agree = jnp.max(
+        jnp.where(didx == best[..., None], ind_left, jnp.int8(0)), axis=-1
+    )
+    return agree > 0
 
 
 def _wta(
@@ -150,15 +226,15 @@ def _wta(
     """
     d = s_hwd.shape[-1]
     best = jnp.argmin(s_hwd, axis=-1).astype(jnp.int32)
-    min_s = jnp.min(s_hwd, axis=-1)
+    min_s = jnp.min(s_hwd, axis=-1).astype(jnp.int32)
 
     # Uniqueness (OpenCV SGBM): invalid if some d with |d - best| > 1 has
     # S[d] * (100 - uniq) < minS * 100.
-    big = jnp.int32(1 << 20)
-    didx = jax.lax.broadcasted_iota(jnp.int32, s_hwd.shape, 2)
+    big = jnp.array(jnp.iinfo(s_hwd.dtype).max, s_hwd.dtype)
+    didx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
     near = jnp.abs(didx - best[..., None]) <= 1
     masked = jnp.where(near, big, s_hwd)
-    second = jnp.min(masked, axis=-1)
+    second = jnp.min(masked, axis=-1).astype(jnp.int32)
     unique_ok = second * (100 - uniqueness) >= min_s * 100
 
     if subpixel:
@@ -167,8 +243,8 @@ def _wta(
         # volume at full VPU bandwidth instead.
         at_m1 = didx == (best[..., None] - 1)
         at_p1 = didx == (best[..., None] + 1)
-        sm = jnp.min(jnp.where(at_m1, s_hwd, big), axis=-1)
-        sp = jnp.min(jnp.where(at_p1, s_hwd, big), axis=-1)
+        sm = jnp.min(jnp.where(at_m1, s_hwd, big), axis=-1).astype(jnp.int32)
+        sp = jnp.min(jnp.where(at_p1, s_hwd, big), axis=-1).astype(jnp.int32)
         denom2 = jnp.maximum(sm + sp - 2 * min_s, 1)
         delta = ((sm - sp) * 16 + denom2) // (denom2 * 2)
         delta = jnp.where((best > 0) & (best < d - 1), delta, 0)
@@ -217,7 +293,9 @@ def sgm_disparity(
     or 'auto' (pallas on TPU, xla elsewhere).
     """
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        # The pallas kernels are pltpu-specific; any other backend (cpu, gpu,
+        # rocm) takes the XLA path.
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     cl = census_transform(left_gray)
     cr = census_transform(right_gray)
@@ -239,34 +317,7 @@ def sgm_disparity(
     valid = valid & (cols >= best + min_disparity)
 
     if lr_check:
-        # Right-view WTA from the same aggregated volume:
-        # S_right[x, d] = S_left[x + d + min_disparity, d].
-        # Built with STATIC shifts (one [H, W] slice per disparity) — the
-        # equivalent take_along_axis gather costs ~1s/frame on TPU.
-        big = jnp.int32(1 << 20)
-        best_r = jnp.zeros((h, w), jnp.int32)
-        min_r = jnp.full((h, w), big)
-        for di in range(s.shape[-1]):
-            shiftw = di + min_disparity
-            col = s[:, :, di]
-            col = jnp.concatenate(
-                [col[:, shiftw:], jnp.full((h, shiftw), big, col.dtype)], axis=1
-            )
-            take = col < min_r
-            min_r = jnp.where(take, col, min_r)
-            best_r = jnp.where(take, di, best_r)
-        # Check agreement: left pixel x with disparity d matched right pixel
-        # x - d - minD; accept if |best_r(there) - d| <= 1.  Again via
-        # static shifts, selected where best == d.
-        agree = jnp.zeros((h, w), bool)
-        for di in range(s.shape[-1]):
-            shiftw = di + min_disparity
-            br = jnp.concatenate(
-                [jnp.full((h, shiftw), -99, jnp.int32), best_r[:, : w - shiftw]],
-                axis=1,
-            )
-            agree = agree | ((best == di) & (jnp.abs(br - di) <= 1))
-        valid = valid & agree
+        valid = valid & _lr_agreement(s, best, min_disparity)
 
     out = jnp.where(valid, disp16, DISPARITY_INVALID)
     return out.astype(jnp.int16)

@@ -5,18 +5,17 @@ pixels into a list (device atomics + per-iteration host sync) and evaluates
 relabeling costs through device-side virtual feature objects.  None of that
 maps to TPU.  Here:
 
-  * features are *data*: ONE packed per-label sufficient-statistic table
-    [L, 1 + 2*C_total] holding (pixel count, per-channel sums,
-    per-channel sum-of-squares) for every feature — all features count the
-    same pixels, so the count column is shared;
+  * features are *data*: per-label sufficient statistics (pixel count,
+    per-channel sums, per-channel sum-of-squares) for every feature — all
+    features count the same pixels, so the count row is shared;
   * every iteration is a dense synchronous sweep: all pixels evaluate the 9
     candidate labels of their 3x3 neighborhood; updates are masked to
     boundary pixels and applied in checkerboard phases (the reference's
     concurrent atomics are order-dependent; phased sync updates are the
     deterministic equivalent);
-  * candidate stats come from ONE table gather + 8 spatial shifts
-    (stats[labels[p+off]] == gathered_image[p+off]) — no per-candidate
-    gathers; the phase's stat update is ONE fused scatter-add;
+  * candidate stats come from ONE row-stacked table gather + spatial shifts
+    (stats[labels[p+off]] == gathered_image[p+off]); the phase's stat
+    update is a recomputation scatter-add;
   * costs use the delta form: the candidate-independent baseline
     (sum of all neighbor labels' costs, contourrelaxation.cu:130-144)
     drops out of the argmin, so
@@ -24,6 +23,12 @@ maps to TPU.  Here:
       + sum_f w_f * [c'_f(old - pixel) + c'_f(cand + pixel)
                      - c_f(old) - c_f(cand)]
     with c'(label with count 0) = 0 (gaussian.cu:163-170).
+
+Layout note (the round-2 rewrite): all per-pixel stat planes live
+CHANNEL-MAJOR — a stack [R, H, W] with H/W on the (sublane, lane) tiles.
+The previous channel-last [H, W, R] layout put R (= ~18) on the lane axis,
+padding every tile to 128 lanes and wasting ~7x of VPU bandwidth on the
+shift/cost pipeline, which dominated the whole flagship frame.
 
 Cost models (gaussian.cu:30-43, compactness.cu:28-35):
   gaussian   : sum_ch [ n/2 log(2 pi var) + n/2 ] / n_channels,
@@ -76,40 +81,51 @@ def _shift(x: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
     return jax.lax.dynamic_slice(xp, (py + dy, px + dx), (h, w))
 
 
-def _shift3(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Shift [H, W, K] spatially with edge padding (OOB masked by caller)."""
-    h, w, k = x.shape
+def _shift_stack(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift [R, H, W] spatially with edge padding (OOB masked by caller)."""
+    r, h, w = x.shape
     py, px = abs(dy), abs(dx)
-    xp = jnp.pad(x, ((py, py), (px, px), (0, 0)), mode="edge")
-    return jax.lax.dynamic_slice(xp, (py + dy, px + dx, 0), (h, w, k))
-
-
-def init_stats(labels: jnp.ndarray, data: jnp.ndarray, num_labels: int):
-    """Packed stat table [L, 1 + 2C]: count | sums | sum-squares."""
-    flat = labels.reshape(-1)
-    d = data.reshape(-1, data.shape[-1]).astype(jnp.float32)
-    row = jnp.concatenate([jnp.ones_like(d[:, :1]), d, d * d], axis=-1)
-    return jnp.zeros((num_labels, row.shape[-1]), jnp.float32).at[flat].add(row)
+    xp = jnp.pad(x, ((0, 0), (py, py), (px, px)), mode="edge")
+    return jax.lax.dynamic_slice(xp, (0, py + dy, px + dx), (r, h, w))
 
 
 def _gaussian_cost(n, s, ss):
-    """Gaussian NLL cost summed over channels / n_channels; 0 when n == 0."""
+    """Gaussian NLL cost from channel-stacked moments; 0 when n == 0.
+
+    n: [H, W] (or [L]); s, ss: [C, ...] matching trailing dims.
+    """
     n_safe = jnp.maximum(n, 1.0)
-    var = ss / n_safe[..., None] - (s / n_safe[..., None]) ** 2
+    var = ss / n_safe - (s / n_safe) ** 2
     var = jnp.maximum(var, 1.0 / 12.0)
-    per_ch = n[..., None] / 2.0 * jnp.log(2.0 * math.pi * var) + n[..., None] / 2.0
-    cost = jnp.sum(per_ch, axis=-1) / s.shape[-1]
+    per_ch = n / 2.0 * jnp.log(2.0 * math.pi * var) + n / 2.0
+    cost = jnp.sum(per_ch, axis=0) / s.shape[0]
     return jnp.where(n > 0, cost, 0.0)
 
 
 def _compact_cost(n, s, ss):
     n_safe = jnp.maximum(n, 1.0)
-    per_ch = ss - (s * s) / n_safe[..., None]
-    cost = jnp.sum(per_ch, axis=-1)
+    per_ch = ss - (s * s) / n_safe
+    cost = jnp.sum(per_ch, axis=0)
     return jnp.where(n > 0, cost, 0.0)
 
 
 _COST_FN = {"gaussian": _gaussian_cost, "compactness": _compact_cost}
+
+
+def init_stats(labels: jnp.ndarray, data: jnp.ndarray, num_labels: int):
+    """Channel-major stat table [1 + 2C, L]: count | sums | sum-squares.
+
+    data: [C, H, W] float32 channel-major feature planes.
+    """
+    c = data.shape[0]
+    flat = labels.reshape(-1)
+    d = data.reshape(c, -1)
+    rows = jnp.concatenate([jnp.ones_like(d[:1]), d, d * d], axis=0)
+    return (
+        jnp.zeros((1 + 2 * c, num_labels), jnp.float32)
+        .at[:, flat]
+        .add(rows)
+    )
 
 
 def relax(
@@ -133,13 +149,13 @@ def relax(
     fully-concurrent border update; 2 gives race-free alternating updates.
     stats_refresh: 'phase' recomputes label statistics after every update
     (the reference's incremental-atomics semantics); 'frame' keeps the
-    statistics fixed for the whole call — ~2x faster, slight quality drift
+    statistics fixed for the whole call — faster, slight quality drift
     bounded by the per-frame refresh.
     """
     h, w = labels.shape
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    coords = jnp.stack([xs, ys], axis=-1)
+    coords = jnp.stack([xs, ys], axis=0)  # [2, H, W]
 
     data_list, specs = [], []
     it = iter(feature_data)
@@ -147,45 +163,53 @@ def relax(
         if spec.kind == "compactness":
             data_list.append(coords)
         else:
-            data_list.append(next(it).astype(jnp.float32))
+            nxt = next(it)
+            # Accept [H, W, C] (module convention) -> channel-major.
+            if nxt.ndim == 3:
+                nxt = jnp.moveaxis(nxt, -1, 0)
+            else:
+                nxt = nxt[None]
+            data_list.append(nxt.astype(jnp.float32))
         specs.append(spec)
 
-    data_all = jnp.concatenate(data_list, axis=-1)  # [H, W, C_total]
-    c_total = data_all.shape[-1]
-    # Per-feature channel slices within the packed layout.
+    data_all = jnp.concatenate(data_list, axis=0)  # [C_total, H, W]
+    c_total = data_all.shape[0]
+    nfeat = len(specs)
+    # Per-feature channel slices within the packed channel-major layout.
     ch_off = []
     o = 0
-    for d in data_list:
-        ch_off.append((o, d.shape[-1]))
-        o += d.shape[-1]
+    for dpart in data_list:
+        ch_off.append((o, dpart.shape[0]))
+        o += dpart.shape[0]
 
-    def split_packed(p):
-        """packed [..., 1+2C] -> (n, per-feature (s, ss))."""
-        n = p[..., 0]
-        outs = []
-        for (off, c) in ch_off:
-            s = p[..., 1 + off : 1 + off + c]
-            ss = p[..., 1 + c_total + off : 1 + c_total + off + c]
-            outs.append((s, ss))
-        return n, outs
+    # Row layout of the packed table / gathered image:
+    #   row 0          : n
+    #   rows 1..C      : per-channel sums
+    #   rows 1+C..2C   : per-channel sum-squares
+    #   rows 1+2C..+F  : per-feature current label cost (appended per phase)
+    nstat = 1 + 2 * c_total
 
-    def feature_costs(p):
-        """Per-feature cost from a packed row/image [..., 1+2C]."""
-        n, parts = split_packed(p)
-        return [
-            _COST_FN[spec.kind](n, s, ss) for spec, (s, ss) in zip(specs, parts)
-        ]
+    def feature_costs(img):
+        """Per-feature cost list from a stacked stat image/table [nstat, ...]."""
+        n = img[0]
+        out = []
+        for spec, (off, c) in zip(specs, ch_off):
+            s = img[1 + off : 1 + off + c]
+            ss = img[1 + c_total + off : 1 + c_total + off + c]
+            out.append(_COST_FN[spec.kind](n, s, ss))
+        return out
 
-    stats0 = init_stats(labels, data_all, num_labels)
+    stats0 = init_stats(labels, data_all, num_labels)  # [nstat, L]
 
     prog_factor = None
     for spec in specs:
         if spec.kind == "compactness" and spec.progressive > 0.0:
             prog_factor = 1.0 + spec.progressive * (h - ys) / float(h)
 
-    pixel_row = jnp.concatenate(
-        [jnp.ones((h, w, 1), jnp.float32), data_all, data_all * data_all], axis=-1
-    )  # the packed-stat contribution of each pixel
+    pixel_rows = jnp.concatenate(
+        [jnp.ones((1, h, w), jnp.float32), data_all, data_all * data_all],
+        axis=0,
+    )  # [nstat, H, W]: each pixel's contribution to its label's stats
 
     update_stats = stats_refresh == "phase"
 
@@ -206,21 +230,22 @@ def relax(
             ) % num_phases
             active = boundary & (pm == phase)
 
-        # Current per-label costs appended to the packed table -> one gather.
-        label_cost_cols = jnp.stack(feature_costs(stats), axis=-1)  # [L, F]
-        table = jnp.concatenate([stats, label_cost_cols], axis=-1)
-        stat_img = jnp.take(table, labels, axis=0)  # ONE gather [H, W, K]
+        # Current per-label costs appended to the packed table -> one gather
+        # into a channel-major [nstat + F, H, W] stat image.
+        label_cost_rows = jnp.stack(feature_costs(stats), axis=0)  # [F, L]
+        table = jnp.concatenate([stats, label_cost_rows], axis=0)
+        stat_img = jnp.take(table, labels, axis=1)  # [nstat + F, H, W]
 
         # Old-label per-pixel quantities (candidate-independent).
-        old_minus = feature_costs(stat_img[..., : stats.shape[-1]] - pixel_row)
-        old_cost = [stat_img[..., stats.shape[-1] + i] for i in range(len(specs))]
+        old_minus = feature_costs(stat_img[:nstat] - pixel_rows)
+        old_cost = [stat_img[nstat + i] for i in range(nfeat)]
 
         best_cost = jnp.full((h, w), jnp.inf, jnp.float32)
         best_label = labels
         for (dx, dy), cand in zip(_OFFSETS, nbs):
             cand_valid = cand != _OOB
             cand_c = jnp.where(cand_valid, cand, 0)
-            cand_img = _shift3(stat_img, dy, dx)
+            cand_img = _shift_stack(stat_img, dy, dx)
 
             # Clique cost for this candidate (contourrelaxation.cu:108-128).
             clique = jnp.zeros((h, w), jnp.float32)
@@ -232,12 +257,8 @@ def relax(
                     (nb2 != _OOB) & (nb2 != cand_c), ccost, 0.0
                 ).astype(jnp.float32)
 
-            cand_plus = feature_costs(
-                cand_img[..., : stats.shape[-1]] + pixel_row
-            )
-            cand_cost = [
-                cand_img[..., stats.shape[-1] + i] for i in range(len(specs))
-            ]
+            cand_plus = feature_costs(cand_img[:nstat] + pixel_rows)
+            cand_cost = [cand_img[nstat + i] for i in range(nfeat)]
 
             total = clique
             is_old = cand_c == labels
@@ -256,13 +277,13 @@ def relax(
         new_labels = jnp.where(active, best_label, labels)
 
         if update_stats:
-            # Incremental (-old +new) update equals a full recomputation of
-            # the segment sums; the recompute scatters HALF the elements
-            # (scatter cost on TPU ~ element count), so recompute.
+            # Incremental (-old +new) update would scatter 2 rows per pixel;
+            # a full recompute scatters 1 (scatter cost on TPU ~ element
+            # count regardless of zeros), so recompute.
             new_stats = (
                 jnp.zeros_like(stats)
-                .at[new_labels.reshape(-1)]
-                .add(pixel_row.reshape(-1, pixel_row.shape[-1]))
+                .at[:, new_labels.reshape(-1)]
+                .add(pixel_rows.reshape(nstat, -1))
             )
         else:
             new_stats = stats

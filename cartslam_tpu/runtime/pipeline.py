@@ -164,3 +164,78 @@ class Pipeline:
     def jitted_step(self, variant: tuple, fetch_keys: frozenset[str]):
         step = self.make_step(variant, fetch_keys)
         return jax.jit(step, donate_argnums=(0,))
+
+    # ------------------------------------------------------- instrumented step
+
+    @functools.lru_cache(maxsize=None)
+    def _module_jit(self, index: int, var: Hashable):
+        """Per-module jitted sub-step for instrumented runs."""
+        m = self.modules[index]
+
+        def fn(frame, history, deps, mstate, mparams):
+            step_ctx = StepContext(frame, history)
+            return m.compute(self.ctx, step_ctx, deps, mstate, mparams, var)
+
+        return jax.jit(fn)
+
+    def run_step_instrumented(
+        self,
+        state,
+        frame,
+        host_params,
+        variant: tuple,
+        fetch_keys: frozenset[str] | None = None,
+    ):
+        """Execute one frame module-by-module with a sync after each module.
+
+        This is the per-module timing mode — the TPU equivalent of the
+        reference's per-module CSV rows (src/cartslam.cpp:259-291,
+        include/timing.hpp:50-70): ``init`` = module submitted, ``start`` =
+        dependencies resolved on device, ``end`` = module outputs ready.
+        Slower than the fused `jitted_step` (no cross-module fusion/overlap);
+        use it to attribute time, not to measure peak throughput.
+
+        Returns (new_state, outputs, timings) with timings a list of
+        (module_name, init_s, start_s, end_s) perf_counter seconds.
+        """
+        import time as _time
+
+        history = state["history"]
+        available: dict[str, jax.Array] = {}
+        new_mod_state = {}
+        timings: list[tuple[str, float, float, float]] = []
+
+        for i, (m, var) in enumerate(zip(self.modules, variant)):
+            deps = {}
+            for dep in m.requires():
+                if dep.offset == 0 and dep.key in available:
+                    deps[dep.key] = available[dep.key]
+            fn = self._module_jit(i, var)
+            t_init = _time.perf_counter()
+            jax.block_until_ready(list(deps.values()))
+            t_start = _time.perf_counter()
+            outputs, mstate = fn(
+                frame,
+                history,
+                deps,
+                state["modules"].get(m.name, {}),
+                host_params.get(m.name, {}),
+            )
+            jax.block_until_ready(outputs)
+            t_end = _time.perf_counter()
+            timings.append((m.name, t_init, t_start, t_end))
+            new_mod_state[m.name] = mstate
+            available.update(outputs)
+
+        new_history = {}
+        for key in self.history_depth:
+            ring = history[key]
+            cur = available[key][None].astype(ring.dtype)
+            new_history[key] = jnp.concatenate([cur, ring[:-1]], axis=0)
+
+        outputs = (
+            {k: v for k, v in available.items() if k in fetch_keys}
+            if fetch_keys is not None
+            else available
+        )
+        return {"modules": new_mod_state, "history": new_history}, outputs, timings

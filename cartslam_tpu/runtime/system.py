@@ -4,12 +4,21 @@ Replaces the reference's System scheduler (src/cartslam.cpp:179-334): the
 192-thread pool + promise store become XLA async dispatch; the 12-frame
 concurrent-run backpressure (include/cartslam.hpp:4) becomes a bounded
 in-flight queue of dispatched steps; run retention becomes the host-visible
-result deque.  One bad frame logs and continues, like main.cpp:48-54.
+result deque.
+
+Failure semantics follow the reference:
+  * one bad frame logs and continues (src/main.cpp:48-54).  Because frames
+    share carried device state, a frame whose async execution fails poisons
+    the dispatched chain; recovery restores the last known-good state
+    snapshot and resumes (the carried-state equivalent of dropping a frame).
+  * a result fetch that hangs raises DataNotAvailableException after
+    ``data_timeout`` seconds, the 20 s watchdog of src/utils/data.cpp:42-49.
 """
 
 from __future__ import annotations
 
 import collections
+import concurrent.futures
 import logging
 import queue
 import threading
@@ -26,6 +35,14 @@ from .timing import TimingWriter
 log = logging.getLogger("cart.system")
 
 
+class DataNotAvailableException(RuntimeError):
+    """A frame's results did not materialize within the data timeout.
+
+    Contract parity with the reference's DataNotAvailableException
+    (include/utils/data.hpp:11, thrown at src/utils/data.cpp:42-49).
+    """
+
+
 class System:
     """Drives frames from a DataSource through a Pipeline.
 
@@ -36,6 +53,13 @@ class System:
         max_in_flight: dispatched-but-unfetched step results
             (reference pipeline depth: 12 concurrent runs).
         prefetch_depth: host frame decode look-ahead.
+        module_timing: run module-by-module with a device sync per module,
+            emitting a per-module CSV timing row (reference:
+            src/cartslam.cpp:259-291).  Disables cross-module fusion.
+        data_timeout: seconds before a hung result fetch raises
+            DataNotAvailableException (reference: 20 s).
+        snapshot_interval: frames between host snapshots of the device state
+            used for failed-frame recovery; 0 disables recovery snapshots.
     """
 
     def __init__(
@@ -53,6 +77,9 @@ class System:
         checkpoint_path: str | None = None,
         checkpoint_interval: int = 100,
         resume_from: str | None = None,
+        module_timing: bool = False,
+        data_timeout: float = 20.0,
+        snapshot_interval: int = 64,
     ):
         self.source = source
         self.pipeline = pipeline
@@ -65,7 +92,11 @@ class System:
         self.checkpoint_path = checkpoint_path
         self.checkpoint_interval = checkpoint_interval
         self.resume_from = resume_from
+        self.module_timing = module_timing
+        self.data_timeout = data_timeout
+        self.snapshot_interval = snapshot_interval
         self.global_data: dict[str, Any] = {}
+        self.failed_frames: list[int] = []
 
         self._fetch_keys = frozenset(
             set(pipeline.host_fetch_keys())
@@ -75,6 +106,9 @@ class System:
 
         self._prefetch_queue: queue.Queue = queue.Queue(maxsize=prefetch_depth)
         self._prefetch_error: BaseException | None = None
+        self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="cart-fetch"
+        )
 
     # ------------------------------------------------------------ global data
 
@@ -98,6 +132,20 @@ class System:
             self._prefetch_error = e
         finally:
             self._prefetch_queue.put(None)
+
+    # --------------------------------------------------------------- fetching
+
+    def _fetch_with_timeout(self, outputs) -> dict[str, np.ndarray]:
+        """Materialize device outputs on host, bounded by the data watchdog."""
+        fut = self._fetch_pool.submit(
+            lambda: {k: np.asarray(v) for k, v in outputs.items()}
+        )
+        try:
+            return fut.result(timeout=self.data_timeout)
+        except concurrent.futures.TimeoutError:
+            raise DataNotAvailableException(
+                f"frame results not available within {self.data_timeout}s"
+            ) from None
 
     # ------------------------------------------------------------------- run
 
@@ -127,13 +175,29 @@ class System:
         in_flight: collections.deque = collections.deque()
         frame_id = start_frame
         processed = 0
+        # Recovery snapshot: last known-good host copy of the device state.
+        snap_state = jax.device_get(state) if self.snapshot_interval else None
+        need_recovery = False
 
         sys_handle = self.timing.init_timing("system", 0).begin()
 
-        def drain_one():
+        def drain_one() -> bool:
+            """Fetch + host-process the oldest in-flight frame.
+
+            Returns False when the frame failed (async device error or
+            watchdog timeout) — the dispatched chain is then poisoned and the
+            caller must recover state.
+            """
             nonlocal processed
             fid, handle, frame_np, outputs = in_flight.popleft()
-            fetched = {k: np.asarray(v) for k, v in outputs.items()}
+            try:
+                fetched = self._fetch_with_timeout(outputs)
+            except Exception:
+                log.error(
+                    "frame %d failed (async):\n%s", fid, traceback.format_exc()
+                )
+                self.failed_frames.append(fid)
+                return False
             self.timing.end_timing(handle)
             try:
                 self._host_post_frame(fid, frame_np, fetched, host_params)
@@ -142,8 +206,29 @@ class System:
             if on_frame is not None:
                 on_frame(fid, fetched)
             processed += 1
+            return True
+
+        def drain_all():
+            nonlocal need_recovery
+            while in_flight:
+                if not drain_one():
+                    need_recovery = True
 
         while True:
+            if need_recovery:
+                # The dispatched chain consumed a poisoned state. Drop
+                # whatever is still queued on device and restart from the
+                # last good snapshot (src/main.cpp:48-54 semantics, adapted
+                # to carried state).
+                drain_all()
+                need_recovery = False
+                if snap_state is not None:
+                    state = jax.device_put(snap_state)
+                    log.warning("recovered pipeline state from snapshot")
+                else:
+                    state = jax.device_put(self.pipeline.init_state())
+                    log.warning("no snapshot available; state re-initialized")
+
             frame_np = self._prefetch_queue.get()
             if frame_np is None:
                 break
@@ -153,37 +238,62 @@ class System:
 
             handle = self.timing.init_timing("frame", frame_id)
             variant = self.pipeline.variant(frame_id)
-            step = self.pipeline.jitted_step(variant, self._fetch_keys)
 
             frame_dev = dict(frame_np)
             frame_dev["frame_id"] = np.int32(frame_id)
 
             handle.mark_start()
             try:
-                state, outputs = step(state, frame_dev, host_params)
+                if self.module_timing:
+                    state, outputs, mod_times = self.pipeline.run_step_instrumented(
+                        state, frame_dev, host_params, variant, self._fetch_keys
+                    )
+                    self._emit_module_rows(frame_id, mod_times)
+                else:
+                    step = self.pipeline.jitted_step(variant, self._fetch_keys)
+                    state, outputs = step(state, frame_dev, host_params)
             except Exception:
                 log.error("frame %d failed:\n%s", frame_id, traceback.format_exc())
+                self.failed_frames.append(frame_id)
+                need_recovery = True
                 continue
 
             in_flight.append((frame_id, handle, frame_np, outputs))
             while len(in_flight) >= self.max_in_flight:
-                drain_one()
+                if not drain_one():
+                    need_recovery = True
+                    break
 
             if (
-                self.checkpoint_path is not None
+                not need_recovery
+                and self.snapshot_interval
+                and frame_id % self.snapshot_interval == 0
+            ):
+                drain_all()  # ensure the snapshot state is actually good
+                if not need_recovery:
+                    snap_state = jax.device_get(state)
+
+            if (
+                not need_recovery
+                and self.checkpoint_path is not None
                 and frame_id % self.checkpoint_interval == 0
             ):
                 from .checkpoint import save_checkpoint
 
-                save_checkpoint(
-                    self.checkpoint_path,
-                    state,
-                    frame_id,
-                    {m.name: m.host_state() for m in self.pipeline.modules},
-                )
+                # Drain so module host_state (running histograms, provider
+                # ranges) is synchronized with the saved device state —
+                # otherwise a resumed run silently loses the in-flight
+                # frames' histogram contributions.
+                drain_all()
+                if not need_recovery:
+                    save_checkpoint(
+                        self.checkpoint_path,
+                        state,
+                        frame_id,
+                        {m.name: m.host_state() for m in self.pipeline.modules},
+                    )
 
-        while in_flight:
-            drain_one()
+        drain_all()
 
         self.timing.end_timing(sys_handle)
         if self._prefetch_error is not None:
@@ -192,6 +302,19 @@ class System:
         return processed
 
     # --------------------------------------------------------- host callbacks
+
+    def _emit_module_rows(self, frame_id: int, mod_times):
+        """Write per-module CSV rows (name;run_id;init;start;end;duration)."""
+        import time as _time
+
+        # Map perf_counter seconds onto the epoch-ms clock the CSV uses.
+        base = _time.time() * 1000 - _time.perf_counter() * 1000
+        for name, t_init, t_start, t_end in mod_times:
+            h = self.timing.init_timing(name, frame_id)
+            h.init = round(base + t_init * 1000, 3)
+            h.start = round(base + t_start * 1000, 3)
+            h.end = round(base + t_end * 1000, 3)
+            self.timing.end_timing_at(h)
 
     def _host_post_frame(self, frame_id, frame_np, fetched, host_params):
         for m in self.pipeline.modules:

@@ -15,23 +15,25 @@ import time
 from dataclasses import dataclass, field
 
 
-def _now_ms() -> int:
-    return int(time.time() * 1000)
+def _now_ms() -> float:
+    # Sub-ms precision: per-module GPU/TPU stages run well under 1 ms, so the
+    # reference's integer-ms epochs would round them to zero.
+    return round(time.time() * 1000, 3)
 
 
 @dataclass
 class TimingHandle:
     name: str
     run_id: int
-    init: int = field(default_factory=_now_ms)
-    start: int = 0
-    end: int = 0
+    init: float = field(default_factory=_now_ms)
+    start: float = 0
+    end: float = 0
 
     def begin(self):
         self.start = _now_ms()
         return self
 
-    def mark_start(self, at_ms: int | None = None):
+    def mark_start(self, at_ms: float | None = None):
         self.start = at_ms if at_ms is not None else _now_ms()
 
 
@@ -55,6 +57,10 @@ class TimingWriter:
 
     def end_timing(self, handle: TimingHandle):
         handle.end = _now_ms()
+        self.end_timing_at(handle)
+
+    def end_timing_at(self, handle: TimingHandle):
+        """Write a row whose init/start/end were set by the caller."""
         if not self.enabled or self._file is None:
             return
         row = [
@@ -63,7 +69,7 @@ class TimingWriter:
             str(handle.init),
             str(handle.start),
             str(handle.end),
-            str(handle.end - handle.start),
+            str(round(handle.end - handle.start, 3)),
         ]
         with self._lock:
             self._file.write(self.SEP.join(row) + "\n")

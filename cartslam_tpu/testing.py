@@ -1,0 +1,36 @@
+"""Early pytest plugin: force the test suite onto a virtual CPU mesh.
+
+Loaded via ``-p cartslam_tpu.testing`` in pyproject.toml's addopts, which
+imports this module during pytest's option parsing — *before* the capture
+manager takes over stdio and before any conftest runs.
+
+Why it exists: the axon sitecustomize registers the real-TPU backend at
+interpreter start, so neither conftest.py nor in-process env vars can pin
+the CPU platform afterwards.  Without this, `pytest tests/` silently runs
+every test over the TPU tunnel and the 8-device sharding tests skip.
+Re-exec'ing here (with the axon trigger removed and an 8-device CPU mesh
+requested) keeps stdout attached to the terminal, unlike a re-exec from
+conftest.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def _needs_reexec() -> bool:
+    return bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+
+
+if _needs_reexec():
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    env["XLA_FLAGS"] = flags
+    os.execve(
+        sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env
+    )

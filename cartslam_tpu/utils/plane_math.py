@@ -62,9 +62,14 @@ def label_point_moments(labels, points, valid, num_labels):
     Returns dict of [L] arrays: n, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz.
     """
     flat = labels.reshape(-1)
-    w = valid.reshape(-1).astype(jnp.float32)
-    p = points.reshape(-1, 3).astype(jnp.float32) * w[:, None]
-    x, y, z = points.reshape(-1, 3).astype(jnp.float32).T
+    p = points.reshape(-1, 3).astype(jnp.float32)
+    # Non-finite points are real (reprojection at disparity 0, ZED inf fill);
+    # inf * 0-weight = NaN would poison the label's moments, so exclude them
+    # from validity and zero the coordinates before accumulating.
+    finite = jnp.isfinite(p).all(axis=-1)
+    w = (valid.reshape(-1) & finite).astype(jnp.float32)
+    p = jnp.where(finite[:, None], p, 0.0)
+    x, y, z = p.T
 
     def acc(v):
         return jnp.zeros((num_labels,), jnp.float32).at[flat].add(v * w)

@@ -1,11 +1,30 @@
 """Test configuration: CPU backend with 8 virtual devices for sharding tests.
 
-Must run before jax initializes — tests never touch the real TPU.
+The axon sitecustomize registers the real-TPU backend at interpreter start —
+*before* this file runs — so setting JAX_PLATFORMS/XLA_FLAGS here is too
+late: the suite would silently run over the TPU tunnel (slow) and the
+multi-device sharding tests would skip for lack of devices.  When that
+environment is detected, re-exec pytest in a clean child where the 8-device
+CPU mesh can actually be built (same pattern as
+__graft_entry__.dryrun_multichip).
 """
 
 import os
+import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    env["XLA_FLAGS"] = flags
+    os.execve(
+        sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env
+    )
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
