@@ -3,53 +3,67 @@
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Workload: the kitti-planeseg preset (disparity SGM + smoothing, derivative,
-depth, superpixels, optical flow, temporal superpixel plane segmentation) on
-synthetic KITTI-geometry stereo (376 x 1248, 128 disparities).  Baseline =
-the repo north star of 60 fps end-to-end per chip (BASELINE.json; the
-reference publishes no numbers).
+Workload: the kitti-planeseg preset (disparity SGM 256 + smoothing,
+derivative, depth, superpixels 24/8 iters, optical flow, temporal
+superpixel plane segmentation) at KITTI geometry (376 x 1248) on textured
+synthetic stereo (the synthetic source's multi-octave scene — uniform
+noise would understate SGM/flow ambiguity).  256 disparities is the
+reference module default (/root/reference/include/modules/disparity.hpp:27).
+Baseline = the repo north star of 60 fps end-to-end per chip
+(BASELINE.json; the reference publishes no numbers).
+
+Measurement notes:
+  * Frames are pre-uploaded: this measures per-chip COMPUTE throughput.
+    (The dev harness reaches the TPU through a high-latency tunnel, so
+    per-frame host uploads would measure the tunnel, not the chip; a
+    production host feeds frames over PCIe.)
+  * A drainer thread forces every frame's result with a small fetch; the
+    main loop keeps a bounded in-flight queue (the System's own pattern).
+    Without the thread, each fetch's ~34 ms tunnel round-trip would
+    serialize the loop.
 """
 
 from __future__ import annotations
 
 import json
+import queue
 import sys
+import threading
 import time
 
 import numpy as np
+
+NUM_DISPARITIES = 256
+H, W = 376, 1248
+MAX_IN_FLIGHT = 4
 
 
 def main():
     import jax
 
     from __graft_entry__ import _flagship_pipeline
+    from cartslam_tpu.sources.synthetic import SyntheticDataSource
 
-    h, w = 376, 1248
-    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    pipeline = _flagship_pipeline(h, w, num_disparities=128, temporal=True)
+    frames_n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    pipeline = _flagship_pipeline(H, W, num_disparities=NUM_DISPARITIES, temporal=True)
 
     fetch = frozenset({"planes"})
     step = pipeline.jitted_step(pipeline.variant(2), fetch)
     step_initial = pipeline.jitted_step(pipeline.variant(1), fetch)
 
-    rng = np.random.RandomState(0)
-
-    # Pre-upload a rotating set of frames: this measures per-chip COMPUTE
-    # throughput.  (The dev harness reaches the TPU through a ~9 MB/s
-    # tunnel, so per-frame host uploads would measure the tunnel, not the
-    # chip; a production host feeds frames over PCIe at GB/s.)
-    def make_frame(fid):
-        return {
-            "left": jax.device_put(
-                rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
-            ),
-            "right": jax.device_put(
-                rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
-            ),
-            "frame_id": jax.device_put(np.int32(fid)),
-        }
-
-    frame_list = [make_frame(i + 3) for i in range(8)]
+    src = SyntheticDataSource(
+        image_size=(H, W), num_frames=10, max_disparity=160.0, baseline=40.0
+    )
+    frame_list = []
+    for i in range(8):
+        f = src.get_next()
+        frame_list.append(
+            {
+                "left": jax.device_put(f["left"]),
+                "right": jax.device_put(f["right"]),
+                "frame_id": jax.device_put(np.int32(i + 3)),
+            }
+        )
 
     state = jax.device_put(pipeline.init_state())
     params = pipeline.init_host_params()
@@ -60,29 +74,40 @@ def main():
         return np.asarray(out["planes"][::97, ::97]).sum()
 
     # Warmup / compile both variants.
-    state, out = step_initial(state, make_frame(1), params)
+    state, out = step_initial(state, frame_list[0] | {"frame_id": np.int32(1)}, params)
     checksum(out)
     state, out = step(state, frame_list[0], params)
     checksum(out)
 
-    lat = []
+    # Drainer thread: forces completion of each dispatched frame and records
+    # its completion time, without stalling the dispatch loop on fetch RT.
+    q: queue.Queue = queue.Queue(maxsize=MAX_IN_FLIGHT)
+    done_t = []
+
+    def drainer():
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            t_start, out = item
+            checksum(out)
+            done_t.append((t_start, time.perf_counter()))
+
+    th = threading.Thread(target=drainer, daemon=True)
+    th.start()
+
     t0 = time.perf_counter()
-    pending = []
-    for i in range(frames):
+    for i in range(frames_n):
         f = frame_list[i % len(frame_list)]
         t_start = time.perf_counter()
         state, out = step(state, f, params)
-        pending.append((t_start, out))
-        if len(pending) > 3:
-            ts, o = pending.pop(0)
-            checksum(o)
-            lat.append(time.perf_counter() - ts)
-    for ts, o in pending:
-        checksum(o)
-        lat.append(time.perf_counter() - ts)
+        q.put((t_start, out))  # blocks when MAX_IN_FLIGHT results are pending
+    q.put(None)
+    th.join()
     t1 = time.perf_counter()
 
-    fps = frames / (t1 - t0)
+    fps = frames_n / (t1 - t0)
+    lat = [te - ts for ts, te in done_t]
     p50_ms = float(np.percentile(np.array(lat) * 1000, 50))
 
     print(
@@ -90,7 +115,7 @@ def main():
             {
                 "metric": "kitti_planeseg_fps_per_chip",
                 "value": round(fps, 2),
-                "unit": "frames/sec (376x1248, 128 disp, p50_latency_ms="
+                "unit": "frames/sec (376x1248, 256 disp, p50_latency_ms="
                 + str(round(p50_ms, 1))
                 + ")",
                 "vs_baseline": round(fps / 60.0, 3),

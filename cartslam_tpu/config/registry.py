@@ -107,7 +107,7 @@ def _build_module(cfg: dict, st: ConfigState):
             image_weight=g("image_weight", 1.5),
             disparity_weight=g("disparity_weight", 1.0),
             relax_phases=g("relax_phases", 1),
-            stats_refresh=g("stats_refresh", "phase"),
+            stats_refresh=g("stats_refresh", "frame"),
         )
         st.superpixel_module = m
         return m

@@ -22,11 +22,19 @@ KEY_OPTFLOW = "optflow"
 class ImageOpticalFlowModule(Module):
     name = "ImageOpticalFlow"
 
-    def __init__(self, image_size, levels: int = 4, search: int = 4, refine: int = 2):
+    def __init__(
+        self,
+        image_size,
+        levels: int = 4,
+        search: int = 4,
+        refine: int = 2,
+        base_level: int = 1,
+    ):
         self.image_size = image_size
         self.levels = levels
         self.search = search
         self.refine = refine
+        self.base_level = base_level
 
     def provides(self):
         return [KEY_OPTFLOW]
@@ -48,6 +56,7 @@ class ImageOpticalFlowModule(Module):
             levels=self.levels,
             search=self.search,
             refine=self.refine,
+            base_level=self.base_level,
         )
         out = fops.to_s10_5(flow)
         out = jnp.where(step.frame_id > 1, out, jnp.zeros_like(out))

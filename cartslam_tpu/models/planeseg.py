@@ -61,12 +61,24 @@ class DisparityPlaneSegmentationModule(Module):
     def requires(self):
         deps = [Dependency(KEY_DISPARITY)]
         if self.temporal:
+            # The carried warp accumulator (ops/planeseg.py:
+            # temporal_vote_warped) replaces the @-2..@-distance history
+            # reads — only the immediately previous unsmoothed planes and
+            # the current flow are consumed each frame.
             deps.append(Dependency(KEY_OPTFLOW))
-            for i in range(1, self.distance + 1):
-                deps.append(Dependency(KEY_PLANES_UNSMOOTHED, offset=-i))
-                if i + 1 <= self.distance:
-                    deps.append(Dependency(KEY_OPTFLOW, offset=-i))
+            deps.append(Dependency(KEY_PLANES_UNSMOOTHED, offset=-1))
         return deps
+
+    def init_state(self, ctx: PipelineContext):
+        if not self.temporal:
+            return {}
+        return {
+            "warp_votes": np.full(
+                (self.distance, ctx.height, ctx.width),
+                pops.WARP_INVALID,
+                np.uint8,
+            )
+        }
 
     def output_spec(self, ctx: PipelineContext):
         spec = {
@@ -132,22 +144,12 @@ class DisparityPlaneSegmentationModule(Module):
             outputs[KEY_PLANES] = planes
             return outputs, {}
 
-        if self.distance > 1:
-            flow_stack = jnp.concatenate(
-                [
-                    deps[KEY_OPTFLOW][None],
-                    step.history_stack(KEY_OPTFLOW)[: self.distance - 1],
-                ],
-                axis=0,
-            )
-        else:
-            flow_stack = deps[KEY_OPTFLOW][None]
-        prev_planes = step.history_stack(KEY_PLANES_UNSMOOTHED)[: self.distance]
-        num_prev = step.history_len(KEY_PLANES_UNSMOOTHED)
-        smoothed = pops.temporal_vote(
-            planes, prev_planes, flow_stack, num_prev,
+        prev = step.history(KEY_PLANES_UNSMOOTHED, -1)
+        prev = jnp.where(step.frame_id > 1, prev, np.uint8(pops.WARP_INVALID))
+        smoothed, warp_votes = pops.temporal_vote_warped(
+            planes, prev, state["warp_votes"], deps[KEY_OPTFLOW],
             current_weight=1, compare_unknown=False,
         )
         outputs[KEY_PLANES] = smoothed
         outputs[KEY_PLANES_UNSMOOTHED] = planes
-        return outputs, {}
+        return outputs, {"warp_votes": warp_votes}

@@ -66,12 +66,22 @@ class SuperPixelDisparityPlaneSegmentationModule(Module):
             Dependency(KEY_DERIVATIVE_HISTOGRAM),
         ]
         if self.temporal:
+            # Carried warp accumulator (ops/planeseg.py:temporal_vote_warped)
+            # replaces the @-2..@-distance history reads.
             deps.append(Dependency(KEY_OPTFLOW))
-            for i in range(1, self.distance + 1):
-                deps.append(Dependency(KEY_PLANES_UNSMOOTHED, offset=-i))
-                if i + 1 <= self.distance:
-                    deps.append(Dependency(KEY_OPTFLOW, offset=-i))
+            deps.append(Dependency(KEY_PLANES_UNSMOOTHED, offset=-1))
         return deps
+
+    def init_state(self, ctx: PipelineContext):
+        if not self.temporal:
+            return {}
+        from ..ops import planeseg as _p
+
+        return {
+            "warp_votes": np.full(
+                (self.distance, ctx.height, ctx.width), _p.WARP_INVALID, np.uint8
+            )
+        }
 
     def output_spec(self, ctx: PipelineContext):
         spec = {KEY_PLANES: jax.ShapeDtypeStruct((ctx.height, ctx.width), jnp.uint8)}
@@ -138,23 +148,17 @@ class SuperPixelDisparityPlaneSegmentationModule(Module):
         vert = deps[KEY_DERIVATIVE][..., 0]
         pixel_planes = pops.classify(vert, params["ranges"])
 
+        new_state = {}
         if self.temporal:
-            if self.distance > 1:
-                flow_stack = jnp.concatenate(
-                    [
-                        deps[KEY_OPTFLOW][None],
-                        step.history_stack(KEY_OPTFLOW)[: self.distance - 1],
-                    ],
-                    axis=0,
-                )
-            else:
-                flow_stack = deps[KEY_OPTFLOW][None]
-            prev = step.history_stack(KEY_PLANES_UNSMOOTHED)[: self.distance]
-            num_prev = step.history_len(KEY_PLANES_UNSMOOTHED)
-            voted = pops.temporal_vote(
-                pixel_planes, prev, flow_stack, num_prev,
+            prev = step.history(KEY_PLANES_UNSMOOTHED, -1)
+            prev = jnp.where(
+                step.frame_id > 1, prev, np.uint8(pops.WARP_INVALID)
+            )
+            voted, warp_votes = pops.temporal_vote_warped(
+                pixel_planes, prev, state["warp_votes"], deps[KEY_OPTFLOW],
                 current_weight=2, compare_unknown=True,
             )
+            new_state["warp_votes"] = warp_votes
         else:
             voted = pixel_planes
 
@@ -167,4 +171,4 @@ class SuperPixelDisparityPlaneSegmentationModule(Module):
             # sp_planeseg.cu:77: the unsmoothed output is the raw per-pixel
             # classification; the temporal vote only feeds the label tally.
             outputs[KEY_PLANES_UNSMOOTHED] = pixel_planes
-        return outputs, {}
+        return outputs, new_state

@@ -39,8 +39,14 @@ class SuperPixelModule(Module):
         image_weight: float = 1.5,
         disparity_weight: float = 1.0,
         relax_phases: int = 1,
-        stats_refresh: str = "phase",
+        stats_refresh: str = "frame",
     ):
+        # stats_refresh='frame' (default) keeps label statistics fixed
+        # across the frame's sweeps, dropping the per-phase scatter that
+        # dominates relax on TPU (~40% of the module).  Gated by
+        # tests/test_quality.py: it matches or beats the
+        # reference-faithful 'phase' mode on boundary recall,
+        # under-segmentation, and plane accuracy.
         if block_size < 1:
             raise ValueError("blockSize must be more than 1")
         if direct_clique_cost < 0:

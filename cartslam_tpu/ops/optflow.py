@@ -77,7 +77,9 @@ def _search_level(cur, prev_warped, radius: int, win: int):
     return best_dx, best_dy
 
 
-@functools.partial(jax.jit, static_argnames=("levels", "search", "refine", "win"))
+@functools.partial(
+    jax.jit, static_argnames=("levels", "search", "refine", "win", "base_level")
+)
 def dense_flow(
     cur_gray: jnp.ndarray,
     prev_gray: jnp.ndarray,
@@ -86,8 +88,16 @@ def dense_flow(
     search: int = 4,
     refine: int = 2,
     win: int = 2,
+    base_level: int = 1,
 ) -> jnp.ndarray:
-    """Gray uint8 pair -> float32 flow [H, W, 2] (x, y), current->previous."""
+    """Gray uint8 pair -> float32 flow [H, W, 2] (x, y), current->previous.
+
+    base_level: finest pyramid level actually searched; the result is
+    upsampled to full resolution.  1 (default) computes at half resolution
+    — ~4x cheaper per level with endpoint error still well under 1 px on
+    the quality harness (the downstream consumer warps by INTEGER pixels,
+    planeseg.cu:215-221, so sub-pixel sharpness is not load-bearing).
+    """
     h, w = cur_gray.shape
     m = 1 << (levels - 1)
     ph, pw = (-h) % m, (-w) % m
@@ -100,7 +110,7 @@ def dense_flow(
         prevs.append(_avg_pool2(prevs[-1]))
 
     flow = jnp.zeros((*curs[-1].shape, 2), jnp.float32)
-    for lvl in range(levels - 1, -1, -1):
+    for lvl in range(levels - 1, base_level - 1, -1):
         c, p = curs[lvl], prevs[lvl]
         if lvl != levels - 1:
             flow = 2.0 * jnp.repeat(jnp.repeat(flow, 2, axis=0), 2, axis=1)
@@ -110,6 +120,8 @@ def dense_flow(
         dx, dy = _search_level(c, pw_img, radius, win)
         flow = flow + jnp.stack([dx, dy], axis=-1)
 
+    for _ in range(base_level):
+        flow = 2.0 * jnp.repeat(jnp.repeat(flow, 2, axis=0), 2, axis=1)
     return flow[:h, :w]
 
 

@@ -113,16 +113,21 @@ def _make_hsweep(h, w, d, pad, min_disparity, p1, p2, cols_per_step, backward,
     return kernel
 
 
-def _make_vsweep(h, wp, d, p1, p2, rows_per_step, backward):
-    """Vertical pass kernel over cost [H, D, Wpad] int8 -> S [H, D, Wpad]."""
-    nblocks = h // rows_per_step
+def _make_vsweep(h, wt, d, p1, p2, rows_per_step, backward):
+    """Vertical pass kernel over cost [H, D, W] int8 -> S [H, D, W].
+
+    Gridded (w_tiles, h_blocks) with the H scan on the FASTEST grid axis so
+    each W tile's rows run consecutively; the carry is per-tile [D, wt],
+    reset at the tile's first row block.  W tiling keeps VMEM bounded at
+    256 disparities.
+    """
 
     def kernel(c_in, s_out, carry):
-        i = pl.program_id(0)
+        i = pl.program_id(1)
 
         @pl.when(i == 0)
         def _():
-            carry[...] = jnp.zeros((d, wp), jnp.int32)
+            carry[...] = jnp.zeros((d, wt), jnp.int32)
 
         for rr in range(rows_per_step):
             r = rows_per_step - 1 - rr if backward else rr
@@ -205,43 +210,54 @@ def sgm_aggregate_pallas(
     )
     s_rl = bwd(cl0, cl1, cr0, cr1)
 
-    # Vertical passes on the transposed cost volume.
+    # Vertical passes on the transposed cost volume, W-tiled to bound VMEM.
+    # Tiles must be lane-aligned (multiples of 128), so the volume's W is
+    # padded up; padded columns cost 0 uniformly (harmless, sliced off).
     rps = 8
     hb = _round_up(h, rps)
     cost_hdw = jnp.transpose(cost_wdh, (2, 1, 0))  # [H, D, Wb]
-    cost_hdw = jnp.pad(cost_hdw, ((0, hb - h), (0, 0), (0, 0)))
+    wt = wv = _round_up(wb, 128)
+    while wt * d * (rps * 3 + 4) > 6 * 1024 * 1024 and wt % 2 == 0 and wt > 128:
+        wt //= 2
+    if wt % 128 != 0:
+        wt = _round_up(wt, 128)
+    wv = _round_up(wv, wt)
+    cost_hdw = jnp.pad(cost_hdw, ((0, hb - h), (0, 0), (0, wv - wb)))
     vblocks = hb // rps
+    wtiles = wv // wt
 
     tb = pl.pallas_call(
-        _make_vsweep(hb, wb, d, p1, p2, rps, backward=False),
-        grid=(vblocks,),
+        _make_vsweep(hb, wt, d, p1, p2, rps, backward=False),
+        grid=(wtiles, vblocks),
         in_specs=[
-            pl.BlockSpec((rps, d, wb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (rps, d, wt), lambda j, i: (i, 0, j), memory_space=pltpu.VMEM
+            )
         ],
         out_specs=pl.BlockSpec(
-            (rps, d, wb), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (rps, d, wt), lambda j, i: (i, 0, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((hb, d, wb), jnp.int16),
-        scratch_shapes=[pltpu.VMEM((d, wb), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((hb, d, wv), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((d, wt), jnp.int32)],
         interpret=interpret,
     )
     s_tb = tb(cost_hdw)
 
     bt = pl.pallas_call(
-        _make_vsweep(hb, wb, d, p1, p2, rps, backward=True),
-        grid=(vblocks,),
+        _make_vsweep(hb, wt, d, p1, p2, rps, backward=True),
+        grid=(wtiles, vblocks),
         in_specs=[
             pl.BlockSpec(
-                (rps, d, wb), lambda i: (vblocks - 1 - i, 0, 0),
+                (rps, d, wt), lambda j, i: (vblocks - 1 - i, 0, j),
                 memory_space=pltpu.VMEM,
             )
         ],
         out_specs=pl.BlockSpec(
-            (rps, d, wb), lambda i: (vblocks - 1 - i, 0, 0),
+            (rps, d, wt), lambda j, i: (vblocks - 1 - i, 0, j),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((hb, d, wb), jnp.int16),
-        scratch_shapes=[pltpu.VMEM((d, wb), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((hb, d, wv), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((d, wt), jnp.int32)],
         interpret=interpret,
     )
     s_bt = bt(cost_hdw)

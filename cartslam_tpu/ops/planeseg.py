@@ -110,6 +110,92 @@ def temporal_vote(
     return jnp.where(unknown, UNKNOWN, winner).astype(jnp.uint8)
 
 
+WARP_INVALID = 3  # 2-bit sentinel: "no vote" (OOB or before first frame)
+
+
+def temporal_vote_warped(
+    current: jnp.ndarray,
+    prev_planes: jnp.ndarray,
+    warp_state: jnp.ndarray,
+    flow: jnp.ndarray,
+    current_weight: int,
+    compare_unknown: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Temporal majority vote via a carried warp accumulator.
+
+    TPU-first re-design of the reference's temporal smoothing
+    (planeseg.cu:199-241): instead of re-warping every previous frame's
+    labels each frame (K separate full-image gathers — the most expensive
+    op in the whole pipeline, since TPU gather cost is per-index), carry
+    the already-warped vote stack across frames and warp it ONCE by the
+    current flow:
+
+        V_k(t) = warp_{f_t}(V_{k-1}(t-1)),   V_0 := planes(t-1)
+
+    All K channels pack into one int32 word (labels are 2-bit), so the
+    warp is a single 469k-index gather regardless of K.
+
+    Semantics note: this samples the k-th flow at the CHAINED position
+    (the true backward trajectory); the reference samples every flow at
+    the original pixel (planeseg.cu:210-227), an approximation of the
+    same trajectory.  Equivalence is metric-gated in tests/test_quality.py.
+
+    Args:
+        current: uint8 [H, W] current-frame classification.
+        prev_planes: uint8 [H, W] previous frame's unsmoothed planes.
+        warp_state: uint8 [K, H, W] carried stack; channel c = planes from
+            frame (t-1-c) warped into frame (t-1) coordinates; WARP_INVALID
+            where no vote exists.  Initialize to WARP_INVALID.
+        flow: int16 [H, W, 2] S10.5 current->previous flow.
+        current_weight / compare_unknown: as in temporal_vote.
+
+    Returns (voted uint8 [H, W], new warp_state uint8 [K, H, W]).
+    """
+    k, h, w = warp_state.shape
+    assert 2 * (k + 1) <= 32, "pack limit: K+1 2-bit fields per int32"
+
+    # Pack [planes(t-1), V_1..V_{K-1}] as 2-bit fields of one int32 image.
+    stack_in = jnp.concatenate([prev_planes[None], warp_state[:-1]], axis=0)
+    packed = jnp.zeros((h, w), jnp.int32)
+    for c in range(k):
+        packed = packed | (stack_in[c].astype(jnp.int32) << (2 * c))
+
+    fx = flow[..., 0].astype(jnp.int32) >> 5
+    fy = flow[..., 1].astype(jnp.int32) >> 5
+    x0 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    y0 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs, ys = x0 - fx, y0 - fy
+    inb = (xs >= 0) & (ys >= 0) & (xs < w) & (ys < h)
+    idx = (jnp.clip(ys, 0, h - 1) * w + jnp.clip(xs, 0, w - 1)).reshape(-1)
+
+    # Two identical rows: XLA's row-batched gather path is ~1.7x faster
+    # than the single-row form for the same index set.
+    table = jnp.stack([packed.reshape(-1), packed.reshape(-1)])
+    warped = jnp.take(table, idx, axis=1)[0].reshape(h, w)
+    all_invalid = 0
+    for c in range(k):
+        all_invalid |= WARP_INVALID << (2 * c)
+    warped = jnp.where(inb, warped, all_invalid)
+
+    new_state = jnp.stack(
+        [((warped >> (2 * c)) & 3).astype(jnp.uint8) for c in range(k)], axis=0
+    )
+
+    votes = []
+    for plane in range(PLANE_COUNT):
+        v = jnp.sum((new_state == plane), axis=0).astype(jnp.int32)
+        v = v + jnp.where(current == plane, current_weight, 0)
+        votes.append(v)
+
+    winner = jnp.where(votes[HORIZONTAL] > votes[VERTICAL], HORIZONTAL, VERTICAL)
+    wv = jnp.where(winner == HORIZONTAL, votes[HORIZONTAL], votes[VERTICAL])
+    if compare_unknown:
+        unknown = wv < votes[UNKNOWN]
+    else:
+        unknown = wv == 0
+    return jnp.where(unknown, UNKNOWN, winner).astype(jnp.uint8), new_state
+
+
 def superpixel_vote(
     pixel_planes: jnp.ndarray,
     labels: jnp.ndarray,

@@ -213,7 +213,15 @@ def relax(
 
     update_stats = stats_refresh == "phase"
 
-    def phase_update(labels, stats, phase, num_phases):
+    def phase_update(labels, stat_img, phase, num_phases):
+        """One synchronous sweep given the per-pixel stat image.
+
+        Returns (new_labels, upd_img, active) where upd_img holds the
+        WINNING candidate's stat rows per pixel — for the fixed-table
+        ('frame') mode the caller carries the stat image forward as
+        where(active, upd_img, stat_img), which is exact because each
+        pixel's rows are a pure lookup of its (new) label.
+        """
         nbs = [_shift(labels, dy, dx, _OOB) for (dx, dy) in _OFFSETS]
         boundary = jnp.zeros((h, w), bool)
         for (dx, dy), nb in zip(_OFFSETS, nbs):
@@ -230,22 +238,25 @@ def relax(
             ) % num_phases
             active = boundary & (pm == phase)
 
-        # Current per-label costs appended to the packed table -> one gather
-        # into a channel-major [nstat + F, H, W] stat image.
-        label_cost_rows = jnp.stack(feature_costs(stats), axis=0)  # [F, L]
-        table = jnp.concatenate([stats, label_cost_rows], axis=0)
-        stat_img = jnp.take(table, labels, axis=1)  # [nstat + F, H, W]
+        # Label costs are re-derived per pixel from the moment rows
+        # (identical values; a handful of VPU logs beats gathering or
+        # carrying F more rows).
+        cost_img = feature_costs(stat_img)  # F x [H, W]
 
         # Old-label per-pixel quantities (candidate-independent).
-        old_minus = feature_costs(stat_img[:nstat] - pixel_rows)
-        old_cost = [stat_img[nstat + i] for i in range(nfeat)]
+        old_minus = feature_costs(stat_img - pixel_rows)
+        old_cost = cost_img
 
         best_cost = jnp.full((h, w), jnp.inf, jnp.float32)
         best_label = labels
+        upd_img = stat_img
         for (dx, dy), cand in zip(_OFFSETS, nbs):
             cand_valid = cand != _OOB
             cand_c = jnp.where(cand_valid, cand, 0)
             cand_img = _shift_stack(stat_img, dy, dx)
+            # cost is a pointwise function of the moments, so the shifted
+            # cost image IS the candidate label's cost.
+            cand_cost = [_shift(ci, dy, dx, 0.0) for ci in cost_img]
 
             # Clique cost for this candidate (contourrelaxation.cu:108-128).
             clique = jnp.zeros((h, w), jnp.float32)
@@ -257,8 +268,7 @@ def relax(
                     (nb2 != _OOB) & (nb2 != cand_c), ccost, 0.0
                 ).astype(jnp.float32)
 
-            cand_plus = feature_costs(cand_img[:nstat] + pixel_rows)
-            cand_cost = [cand_img[nstat + i] for i in range(nfeat)]
+            cand_plus = feature_costs(cand_img + pixel_rows)
 
             total = clique
             is_old = cand_c == labels
@@ -273,31 +283,49 @@ def relax(
             take = total < best_cost
             best_cost = jnp.where(take, total, best_cost)
             best_label = jnp.where(take, cand_c, best_label)
+            upd_img = jnp.where(take[None], cand_img, upd_img)
 
         new_labels = jnp.where(active, best_label, labels)
+        return new_labels, upd_img, active
 
-        if update_stats:
-            # Incremental (-old +new) update would scatter 2 rows per pixel;
-            # a full recompute scatters 1 (scatter cost on TPU ~ element
-            # count regardless of zeros), so recompute.
-            new_stats = (
-                jnp.zeros_like(stats)
-                .at[:, new_labels.reshape(-1)]
-                .add(pixel_rows.reshape(nstat, -1))
-            )
-        else:
-            new_stats = stats
-        return new_labels, new_stats
+    if update_stats:
+        # Reference-faithful mode: statistics refresh after every sweep, so
+        # the stat image must be re-gathered from the re-scattered table.
+        def one_iteration(carry, _):
+            labels, stats = carry
+            for phase in range(phases):
+                stat_img = jnp.take(stats, labels, axis=1)
+                labels, _, _ = phase_update(labels, stat_img, phase, phases)
+                stats = (
+                    jnp.zeros_like(stats)
+                    .at[:, labels.reshape(-1)]
+                    .add(pixel_rows.reshape(nstat, -1))
+                )
+            return (labels, stats), None
 
-    def one_iteration(carry, _):
-        labels, stats = carry
-        for phase in range(phases):
-            labels, stats = phase_update(labels, stats, phase, phases)
-        return (labels, stats), None
+        (labels, _), _ = jax.lax.scan(
+            one_iteration, (labels, stats0), None, length=iterations
+        )
+    else:
+        # Fixed-table mode: gather ONCE, then carry the per-pixel stat
+        # image across sweeps, updating changed pixels from the winning
+        # candidate's (already shifted) rows — no per-phase gather or
+        # scatter at all.
+        stat_img0 = jnp.take(stats0, labels, axis=1)
 
-    (labels, _), _ = jax.lax.scan(
-        one_iteration, (labels, stats0), None, length=iterations
-    )
+        def one_iteration(carry, _):
+            labels, stat_img = carry
+            for phase in range(phases):
+                new_labels, upd_img, active = phase_update(
+                    labels, stat_img, phase, phases
+                )
+                stat_img = jnp.where(active[None], upd_img, stat_img)
+                labels = new_labels
+            return (labels, stat_img), None
+
+        (labels, _), _ = jax.lax.scan(
+            one_iteration, (labels, stat_img0), None, length=iterations
+        )
     return labels
 
 

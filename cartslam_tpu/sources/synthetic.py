@@ -14,10 +14,19 @@ from .base import DataSource
 
 
 def _texture(h, w, rng):
-    base = rng.randint(40, 215, (h // 8 + 2, w // 8 + 2)).astype(np.float32)
-    up = np.kron(base, np.ones((8, 8)))[:h, :w]
-    noise = rng.randn(h, w) * 6
-    return np.clip(up + noise, 0, 255)
+    """Multi-octave blocky texture.
+
+    Non-commensurate scales (16/7/3) avoid the periodic-match ambiguity a
+    single block size creates for stereo (a d±period alias ties the SGM
+    uniqueness test and invalidates whole regions).
+    """
+    t = np.zeros((h, w), np.float32)
+    for scale, amp in ((16, 55.0), (7, 45.0), (3, 25.0)):
+        base = rng.randn(h // scale + 2, w // scale + 2).astype(np.float32)
+        t += amp * np.kron(base, np.ones((scale, scale)))[:h, :w]
+    t += rng.randn(h, w).astype(np.float32) * 8.0
+    lo, hi = np.percentile(t, [1, 99])
+    return np.clip((t - lo) / max(hi - lo, 1e-6) * 195 + 30, 0, 255)
 
 
 class SyntheticDataSource(DataSource):
@@ -69,6 +78,38 @@ class SyntheticDataSource(DataSource):
         y1 = min(max(y1, y0 + 4), h)
         disp[y0:y1, x0:x1] = np.maximum(disp[y0:y1, x0:x1], wall_d)
         return np.minimum(disp, self.max_disparity)
+
+    # Ground-truth accessors for the quality harness (SURVEY §4: the fake
+    # backend with known geometry the reference never had).
+
+    GT_GROUND, GT_WALL, GT_SKY = 0, 1, 2
+
+    def ground_truth_regions(self, frame_idx: int) -> np.ndarray:
+        """uint8 [H, W] region map: 0=ground plane, 1=wall slab, 2=sky."""
+        h, w = self.image_size
+        disp = self.ground_truth_disparity(frame_idx)
+        horizon = int(0.35 * h)
+        regions = np.full((h, w), self.GT_SKY, np.uint8)
+        regions[horizon:, :] = self.GT_GROUND
+        ys = np.arange(h)[:, None].astype(np.float32)
+        ground = np.clip(
+            (ys - 0.35 * h) / (h - 0.35 * h), 0, None
+        ) * self.max_disparity * 0.8
+        wall = disp > np.broadcast_to(ground, (h, w)) + 1e-3
+        regions[wall] = self.GT_WALL
+        return regions
+
+    def ground_truth_flow(self, frame_idx: int) -> np.ndarray:
+        """float32 [H, W, 2] flow current->previous (prev = cur - flow).
+
+        The texture pans left 2 px/frame (see _render's roll), so content at
+        x was at x + 2 in the previous frame: flow_x = -2 for frame_idx >= 1.
+        """
+        h, w = self.image_size
+        fx = -2.0 if frame_idx >= 1 else 0.0
+        flow = np.zeros((h, w, 2), np.float32)
+        flow[..., 0] = fx
+        return flow
 
     def _render(self, frame_idx: int):
         h, w = self.image_size

@@ -33,6 +33,7 @@ def main():
                     help="also time the fused jitted step for comparison")
     ap.add_argument("--csv", default=None, help="write timing CSV into DIR")
     ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
+    ap.add_argument("--stats-refresh", default="phase", choices=("phase", "frame"))
     args = ap.parse_args()
 
     import jax
@@ -42,7 +43,10 @@ def main():
     from cartslam_tpu.runtime.timing import TimingWriter
 
     h, w = args.height, args.width
-    pipeline = _flagship_pipeline(h, w, num_disparities=args.disp, temporal=True)
+    pipeline = _flagship_pipeline(
+        h, w, num_disparities=args.disp, temporal=True,
+        stats_refresh=args.stats_refresh,
+    )
     src = SyntheticDataSource(
         image_size=(h, w), num_frames=args.frames + 2, max_disparity=args.disp * 0.6
     )
