@@ -141,7 +141,9 @@ def _make_vsweep(h, wt, d, p1, p2, rows_per_step, backward):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("min_disparity", "num_disparities", "p1", "p2", "interpret"),
+    static_argnames=(
+        "min_disparity", "num_disparities", "p1", "p2", "interpret", "flip"
+    ),
 )
 def sgm_aggregate_pallas(
     left_census: tuple[jnp.ndarray, jnp.ndarray],
@@ -152,11 +154,16 @@ def sgm_aggregate_pallas(
     p1: int = 10,
     p2: int = 120,
     interpret: bool = False,
+    flip: bool = True,
 ) -> jnp.ndarray:
     """4-path aggregated cost [H, W, D] int16 from census word pairs [H, W].
 
     Drop-in replacement for hamming_cost_volume + sgm_aggregate in
     ops/stereo.py (bit-identical recurrence, different schedule).
+
+    flip=False returns the volume with the d axis REVERSED (the kernels'
+    native layout) — consumers that index d through stereo._d_true avoid
+    two full-volume flips.
     """
     d = num_disparities
     h, w = left_census[0].shape
@@ -269,4 +276,5 @@ def sgm_aggregate_pallas(
     s_h = s_h[:, :w, :]  # [H, W, D]
     s_v = jnp.transpose(s_tb + s_bt, (0, 2, 1))
     s_v = s_v[:h, :w, :]
-    return (s_h + s_v)[..., ::-1]
+    s = s_h + s_v
+    return s[..., ::-1] if flip else s

@@ -141,15 +141,24 @@ def sgm_aggregate(cost_dhw: jnp.ndarray, p1: int, p2: int, num_paths: int = 4):
     return s
 
 
-def _shear_w_by_d(vol: jnp.ndarray, base: int, fill) -> jnp.ndarray:
-    """out[h, x, d] = vol[h, x + d + base, d] via log-decomposed W shifts.
+def _d_true(d: int, reversed_d: bool):
+    """Per-lane TRUE disparity index [1, 1, D] for a (possibly reversed)
+    volume.  The Pallas kernels keep d reversed (d' = D-1-d) end-to-end;
+    working in that space saves two full-volume flips."""
+    didx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
+    return (d - 1 - didx) if reversed_d else didx
+
+
+def _shear_w_by_d(vol: jnp.ndarray, base: int, fill, reversed_d: bool):
+    """out[h, x, l] = vol[h, x + d_true(l) + base, l] via log-decomposed
+    W shifts.
 
     A data-dependent gather would be pathological on TPU; a shear by the
-    lane index d decomposes into log2(D) static shifts selected by the bits
-    of d — each a full-bandwidth VPU pass over the volume.
+    per-lane disparity decomposes into log2(D) static shifts selected by
+    the bits of d_true — each a full-bandwidth VPU pass over the volume.
     """
     h, w, d = vol.shape
-    didx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
+    dt = _d_true(d, reversed_d)
 
     def shift_w(v, k):
         if k == 0:
@@ -162,15 +171,15 @@ def _shear_w_by_d(vol: jnp.ndarray, base: int, fill) -> jnp.ndarray:
     out = shift_w(vol, base)
     k = 1
     while k < d:
-        out = jnp.where((didx & k) != 0, shift_w(out, k), out)
+        out = jnp.where((dt & k) != 0, shift_w(out, k), out)
         k *= 2
     return out
 
 
-def _unshear_w_by_d(vol: jnp.ndarray, base: int, fill) -> jnp.ndarray:
-    """out[h, x, d] = vol[h, x - d - base, d] (inverse of _shear_w_by_d)."""
+def _unshear_w_by_d(vol: jnp.ndarray, base: int, fill, reversed_d: bool):
+    """out[h, x, l] = vol[h, x - d_true(l) - base, l] (inverse shear)."""
     h, w, d = vol.shape
-    didx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
+    dt = _d_true(d, reversed_d)
 
     def shift_w(v, k):
         if k == 0:
@@ -183,32 +192,36 @@ def _unshear_w_by_d(vol: jnp.ndarray, base: int, fill) -> jnp.ndarray:
     out = shift_w(vol, base)
     k = 1
     while k < d:
-        out = jnp.where((didx & k) != 0, shift_w(out, k), out)
+        out = jnp.where((dt & k) != 0, shift_w(out, k), out)
         k *= 2
     return out
 
 
-def _lr_agreement(s_hwd: jnp.ndarray, best: jnp.ndarray, min_disparity: int):
+def _lr_agreement(
+    s_hwd: jnp.ndarray, best: jnp.ndarray, min_disparity: int, reversed_d: bool
+):
     """Left-right consistency from one aggregated volume, O(log D) passes.
 
     Right-view WTA: S_right[x, d] = S_left[x + d + minD, d]; left pixel x
     with winner d is kept iff |best_r[x - d - minD] - d| <= 1.
     """
     h, w, d = s_hwd.shape
-    big = jnp.int16(jnp.iinfo(jnp.int16).max) if s_hwd.dtype == jnp.int16 else (
-        jnp.array(1 << 20, s_hwd.dtype)
-    )
-    sheared = _shear_w_by_d(s_hwd, min_disparity, big)
-    best_r = jnp.argmin(sheared, axis=-1).astype(jnp.int32)  # [H, W] right coords
+    big = jnp.array(jnp.iinfo(jnp.int16).max, s_hwd.dtype)
+    sheared = _shear_w_by_d(s_hwd, min_disparity, big, reversed_d)
+    dt = _d_true(d, reversed_d)
+    # Keyed min: value*D + d_true, so the winner AND the lowest-d tie-break
+    # come out of ONE reduction (matches argmin-first semantics of the
+    # unreversed path).
+    key_r = jnp.min(sheared.astype(jnp.int32) * d + dt, axis=-1)
+    best_r = key_r % d  # [H, W] right coords, true disparity index
 
-    didx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
     # Indicator in right coords, then unshear back to left coords: column x
-    # at lane d receives I[x - d - minD, d] — exactly the right pixel that
-    # left pixel x matched at disparity d.
-    ind = (jnp.abs(best_r[..., None] - didx) <= 1).astype(jnp.int8)
-    ind_left = _unshear_w_by_d(ind, min_disparity, jnp.int8(0))
+    # at lane l receives I[x - d_true(l) - minD, l] — exactly the right
+    # pixel that left pixel x matched at that disparity.
+    ind = (jnp.abs(best_r[..., None] - dt) <= 1).astype(jnp.int8)
+    ind_left = _unshear_w_by_d(ind, min_disparity, jnp.int8(0), reversed_d)
     agree = jnp.max(
-        jnp.where(didx == best[..., None], ind_left, jnp.int8(0)), axis=-1
+        jnp.where(dt == best[..., None], ind_left, jnp.int8(0)), axis=-1
     )
     return agree > 0
 
@@ -218,31 +231,38 @@ def _wta(
     min_disparity: int,
     uniqueness: int,
     subpixel: bool,
+    reversed_d: bool = False,
 ):
     """Winner-take-all with uniqueness test and sub-pixel quadratic fit.
+
+    Works directly on a d-reversed volume (reversed_d=True, the Pallas
+    layout) — the winner and its lowest-true-d tie-break come from ONE
+    keyed min-reduction (key = S*D + d_true), so no argmin and no flips.
 
     Returns (disp16 int32 [H,W], best int32 [H,W], valid bool [H,W]).
     Sub-pixel formula follows OpenCV SGBM: delta in [-8, 8] sixteenths.
     """
     d = s_hwd.shape[-1]
-    best = jnp.argmin(s_hwd, axis=-1).astype(jnp.int32)
-    min_s = jnp.min(s_hwd, axis=-1).astype(jnp.int32)
+    dt = _d_true(d, reversed_d)
+    big = jnp.array(jnp.iinfo(jnp.int16).max, s_hwd.dtype)
+
+    key = s_hwd.astype(jnp.int32) * d + dt
+    min_key = jnp.min(key, axis=-1)
+    best = min_key % d
+    min_s = min_key // d
 
     # Uniqueness (OpenCV SGBM): invalid if some d with |d - best| > 1 has
     # S[d] * (100 - uniq) < minS * 100.
-    big = jnp.array(jnp.iinfo(s_hwd.dtype).max, s_hwd.dtype)
-    didx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
-    near = jnp.abs(didx - best[..., None]) <= 1
-    masked = jnp.where(near, big, s_hwd)
-    second = jnp.min(masked, axis=-1).astype(jnp.int32)
+    near = jnp.abs(dt - best[..., None]) <= 1
+    second = jnp.min(jnp.where(near, big, s_hwd), axis=-1).astype(jnp.int32)
     unique_ok = second * (100 - uniqueness) >= min_s * 100
 
     if subpixel:
         # Masked-min selection instead of take_along_axis: per-pixel dynamic
         # gathers are pathological on TPU; a select+reduce re-reads the
         # volume at full VPU bandwidth instead.
-        at_m1 = didx == (best[..., None] - 1)
-        at_p1 = didx == (best[..., None] + 1)
+        at_m1 = dt == (best[..., None] - 1)
+        at_p1 = dt == (best[..., None] + 1)
         sm = jnp.min(jnp.where(at_m1, s_hwd, big), axis=-1).astype(jnp.int32)
         sp = jnp.min(jnp.where(at_p1, s_hwd, big), axis=-1).astype(jnp.int32)
         denom2 = jnp.maximum(sm + sp - 2 * min_s, 1)
@@ -299,25 +319,29 @@ def sgm_disparity(
 
     cl = census_transform(left_gray)
     cr = census_transform(right_gray)
-    if backend == "pallas" and num_paths == 4:
+    if backend in ("pallas", "pallas_interpret") and num_paths == 4:
         from .pallas.sgm import sgm_aggregate_pallas
 
+        # flip=False keeps the kernel's reversed-d layout; the WTA/LR below
+        # work in that space directly (saves two full-volume flips).
         s = sgm_aggregate_pallas(
             cl, cr, min_disparity=min_disparity, num_disparities=num_disparities,
-            p1=p1, p2=p2,
+            p1=p1, p2=p2, flip=False, interpret=backend == "pallas_interpret",
         )
+        reversed_d = True
     else:
         cost = hamming_cost_volume(cl, cr, min_disparity, num_disparities)
         s = sgm_aggregate(cost, p1, p2, num_paths)  # [H, W, D]
+        reversed_d = False
 
-    disp16, best, valid = _wta(s, min_disparity, uniqueness, subpixel)
+    disp16, best, valid = _wta(s, min_disparity, uniqueness, subpixel, reversed_d)
 
     h, w = left_gray.shape
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     valid = valid & (cols >= best + min_disparity)
 
     if lr_check:
-        valid = valid & _lr_agreement(s, best, min_disparity)
+        valid = valid & _lr_agreement(s, best, min_disparity, reversed_d)
 
     out = jnp.where(valid, disp16, DISPARITY_INVALID)
     return out.astype(jnp.int16)

@@ -56,3 +56,20 @@ def test_pallas_matches_xla_with_min_disparity():
         )
     )
     np.testing.assert_array_equal(s_pallas, s_xla)
+
+
+def test_full_sgm_disparity_pallas_path_matches_xla():
+    """End-to-end sgm_disparity: the reversed-d WTA/uniqueness/subpixel/LR
+    path over the Pallas volume must equal the unreversed XLA path."""
+    h, w, d = 24, 68, 16  # w % 8 != 0
+    rng = np.random.RandomState(5)
+    tex = rng.randint(0, 255, (h, w + d)).astype(np.uint8)
+    left, right = jnp.asarray(tex[:, 7:7 + w]), jnp.asarray(tex[:, :w])
+
+    kw = dict(min_disparity=2, num_disparities=d, uniqueness=12,
+              lr_check=True, subpixel=True)
+    out_xla = np.asarray(stereo.sgm_disparity(left, right, backend="xla", **kw))
+    out_pal = np.asarray(
+        stereo.sgm_disparity(left, right, backend="pallas_interpret", **kw)
+    )
+    np.testing.assert_array_equal(out_pal, out_xla)
