@@ -44,7 +44,12 @@ def create_data_source(cfg: dict):
     if stype == "kitti":
         return KITTIDataSource(cfg["path"], cfg.get("sequence", 0))
     if stype == "zed":
-        return ZEDDataSource(cfg["path"], cfg.get("include_disparity", False))
+        return ZEDDataSource(
+            cfg["path"],
+            cfg.get("include_disparity", False),
+            real_time_mode=cfg.get("svo_real_time_mode", False),
+            fps=cfg.get("fps", 15.0),
+        )
     if stype == "synthetic":
         return SyntheticDataSource(
             image_size=tuple(cfg.get("image_size", (96, 192))),
@@ -202,6 +207,51 @@ def build_system(
         grayscale=grayscale,
     )
     pipeline = Pipeline(ctx, modules)
+
+    if parallel is not None:
+        mode = parallel.get("mode", "multiseq")
+        if mode != "multiseq":
+            raise ValueError(f"unknown parallel mode '{mode}'")
+        batch = int(parallel.get("batch", len(__import__("jax").devices())))
+        src_cfgs = parallel.get("sources")
+        if src_cfgs is None:
+            # Replicate the primary source config; per-sequence variation
+            # where the source type supports it (synthetic seed, kitti
+            # sequence list).
+            src_cfgs = []
+            for i in range(batch):
+                c = dict(source_cfg)
+                if c.get("type") == "synthetic":
+                    c["seed"] = int(c.get("seed", 0)) + i
+                src_cfgs.append(c)
+        if len(src_cfgs) != batch:
+            raise ValueError("parallel.sources length must equal parallel.batch")
+        sources = [source if i == 0 else create_data_source(c)
+                   for i, c in enumerate(src_cfgs)]
+        for s in sources:
+            if s.get_image_size() != (h, w):
+                raise ValueError("all parallel sources must share image size")
+
+        from ..parallel.system import MultiSeqSystem
+
+        dropped = {k: v for k, v in system_kwargs.items() if v}
+        if dropped:
+            import logging
+
+            logging.getLogger("cart.config").warning(
+                "multiseq mode ignores system options: %s", sorted(dropped)
+            )
+        return MultiSeqSystem(
+            sources,
+            pipeline,
+            host_modules,
+            timing=timing,
+            image_sink=image_sink,
+            max_frames=max_frames,
+            max_in_flight=max_in_flight,
+            extra_fetch_keys=extra_fetch_keys,
+        )
+
     return System(
         source,
         pipeline,

@@ -15,10 +15,16 @@ def build_features_module(cfg: dict, st):
 def build_planefit_module(cfg: dict, st):
     from ..models.planefit import SuperPixelPlaneFitModule
 
-    return SuperPixelPlaneFitModule(num_labels=st.num_superpixel_labels())
+    return SuperPixelPlaneFitModule(
+        num_labels=st.num_superpixel_labels(),
+        fit_method=cfg.get("fit_method", "ransac"),
+    )
 
 
 def build_planecluster_module(cfg: dict, st):
     from ..models.planecluster import SuperPixelPlaneClusterModule
 
-    return SuperPixelPlaneClusterModule(num_labels=st.num_superpixel_labels())
+    return SuperPixelPlaneClusterModule(
+        num_labels=st.num_superpixel_labels(),
+        fit_method=cfg.get("fit_method", "ransac"),
+    )

@@ -23,36 +23,61 @@ from ..utils import plane_math
 KEY_PLANES_EQ = "planes_eq"
 
 
-@functools.partial(jax.jit, static_argnames=("num_labels",))
-def _fit(labels, depth, num_labels):
+@functools.partial(jax.jit, static_argnames=("num_labels", "method"))
+def _fit(labels, depth, num_labels, method="ransac"):
     z = depth[..., 2]
     valid = jnp.isfinite(z) & (z > 0.0) & (z <= 40.0)
-    planes, npts = plane_math.fit_label_planes(labels, depth, valid, num_labels)
+    if method == "ransac":
+        # The reference RANSAC-fits every superpixel (planecluster.cpp:46-68
+        # via util::segmentPlane); vectorized hypothesis sampling is its
+        # direct TPU mapping and keeps the outlier robustness.
+        planes, npts = plane_math.ransac_label_planes(
+            labels, depth, valid, num_labels
+        )
+    else:
+        planes, npts = plane_math.fit_label_planes(labels, depth, valid, num_labels)
     return planes, npts
 
 
 def _adjacency(labels: np.ndarray, num_labels: int) -> list[set[int]]:
-    neigh: list[set[int]] = [set() for _ in range(num_labels)]
+    """Label adjacency from the 4 shift comparisons, vectorized: pack each
+    boundary pair into one int64, np.unique once, then split — no Python
+    loop over pixels (planecluster.cpp:70-93 builds the same graph)."""
     h, w = labels.shape
+    lab = labels.astype(np.int64)
+    pairs = []
     for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):
         y0, y1 = max(0, -dy), min(h, h - dy)
         x0, x1 = max(0, -dx), min(w, w - dx)
-        a = labels[y0:y1, x0:x1].reshape(-1)
-        b = labels[y0 + dy : y1 + dy, x0 + dx : x1 + dx].reshape(-1)
-        diff = a != b
-        for la, lb in set(zip(a[diff].tolist(), b[diff].tolist())):
-            neigh[la].add(lb)
-            neigh[lb].add(la)
+        a = lab[y0:y1, x0:x1].reshape(-1)
+        b = lab[y0 + dy : y1 + dy, x0 + dx : x1 + dx].reshape(-1)
+        m = a != b
+        a, b = a[m], b[m]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        pairs.append(lo * num_labels + hi)
+    uniq = np.unique(np.concatenate(pairs)) if pairs else np.zeros(0, np.int64)
+    la, lb = uniq // num_labels, uniq % num_labels
+    neigh: list[set[int]] = [set() for _ in range(num_labels)]
+    for x, y in zip(la.tolist(), lb.tolist()):
+        neigh[x].add(y)
+        neigh[y].add(x)
     return neigh
 
 
 class SuperPixelPlaneClusterModule(HostModule):
     name = "PlaneCluster"
 
-    def __init__(self, num_labels: int, min_cluster: int = 32, min_points: int = 16):
+    def __init__(
+        self,
+        num_labels: int,
+        min_cluster: int = 32,
+        min_points: int = 16,
+        fit_method: str = "ransac",
+    ):
         self.num_labels = num_labels
         self.min_cluster = min_cluster
         self.min_points = min_points
+        self.fit_method = fit_method
 
     def requires(self):
         return [Dependency("superpixels"), Dependency("depth")]
@@ -62,7 +87,9 @@ class SuperPixelPlaneClusterModule(HostModule):
         depth = np.asarray(fetched["depth"])
         L = self.num_labels
 
-        planes, npts = jax.device_get(_fit(jnp.asarray(labels), jnp.asarray(depth), L))
+        planes, npts = jax.device_get(
+            _fit(jnp.asarray(labels), jnp.asarray(depth), L, self.fit_method)
+        )
         norms = np.linalg.norm(planes[:, :3], axis=-1)
         ok = (npts >= self.min_points) & (norms > 0)
 

@@ -7,10 +7,10 @@ device calls (utils/plane_math.py) and only the small greedy adoption loop
 stays on host.
 
 Differences from the reference, by design:
-  * per-superpixel planes come from a closed-form least-squares fit over
-    all the label's valid points (the same covariance method the reference
-    RANSAC refits with, plane.cpp:56-97) instead of a sampled RANSAC —
-    equivalent for planar patches, deterministic, and fully batched;
+  * per-superpixel planes come from vectorized RANSAC (all labels x all
+    hypotheses in one device call, utils/plane_math.ransac_label_planes —
+    the TPU mapping of plane.cpp:99-180) with fit_method='lsq' available
+    as the deterministic closed-form alternative;
   * the reference's progress counter increments for VALID regions
     (planefit.cu:389-394), which makes the 90%-assigned stop trigger
     immediately on clean frames; the obvious intent (count *excluded*
@@ -35,8 +35,8 @@ from ..utils import plane_math
 KEY_PLANES_EQ = "planes_eq"
 
 
-@functools.partial(jax.jit, static_argnames=("num_labels",))
-def _label_setup(labels, depth, num_labels):
+@functools.partial(jax.jit, static_argnames=("num_labels", "method"))
+def _label_setup(labels, depth, num_labels, method="ransac"):
     z = depth[..., 2]
     valid = jnp.isfinite(z) & (z > 0.0) & (z <= 40.0)
     flat = labels.reshape(-1)
@@ -46,7 +46,14 @@ def _label_setup(labels, depth, num_labels):
         .at[flat]
         .add((~valid.reshape(-1)).astype(jnp.int32))
     )
-    planes, npts = plane_math.fit_label_planes(labels, depth, valid, num_labels)
+    if method == "ransac":
+        # util::segmentPlane's sampling robustness, vectorized over every
+        # label at once (plane.cpp:99-180 -> utils/plane_math.py).
+        planes, npts = plane_math.ransac_label_planes(
+            labels, depth, valid, num_labels
+        )
+    else:
+        planes, npts = plane_math.fit_label_planes(labels, depth, valid, num_labels)
     return count, invalid, planes, npts, valid
 
 
@@ -60,10 +67,17 @@ def _inliers(labels, depth, valid, planes, num_labels):
 class SuperPixelPlaneFitModule(HostModule):
     name = "PlaneFit"
 
-    def __init__(self, num_labels: int, max_iters: int = 100, target: float = 0.9):
+    def __init__(
+        self,
+        num_labels: int,
+        max_iters: int = 100,
+        target: float = 0.9,
+        fit_method: str = "ransac",
+    ):
         self.num_labels = num_labels
         self.max_iters = max_iters
         self.target = target
+        self.fit_method = fit_method
         self.rng = np.random.RandomState(0)
 
     def requires(self):
@@ -89,7 +103,7 @@ class SuperPixelPlaneFitModule(HostModule):
         L = self.num_labels
 
         count, invalid, planes_all, npts, valid = jax.device_get(
-            _label_setup(jnp.asarray(labels), jnp.asarray(depth), L)
+            _label_setup(jnp.asarray(labels), jnp.asarray(depth), L, self.fit_method)
         )
         valid_region = invalid < 0.5 * count
 

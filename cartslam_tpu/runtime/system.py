@@ -106,8 +106,10 @@ class System:
 
         self._prefetch_queue: queue.Queue = queue.Queue(maxsize=prefetch_depth)
         self._prefetch_error: BaseException | None = None
+        # Several workers so one hung transfer doesn't head-of-line block
+        # the later frames' fetches after its watchdog fires.
         self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="cart-fetch"
+            max_workers=4, thread_name_prefix="cart-fetch"
         )
 
     # ------------------------------------------------------------ global data
@@ -127,6 +129,23 @@ class System:
                 frame = self.source.get_next()
                 if frame is None:
                     break
+                if self.pipeline.ctx.grayscale:
+                    # Whole-pipeline grayscale switch — the runtime-flag
+                    # form of CARTSLAM_IMAGE_MAKE_GRAYSCALE
+                    # (src/datasource.cpp:6-16): images are converted at
+                    # the source boundary, every module sees 1 channel.
+                    frame = dict(frame)
+                    for k in ("left", "right"):
+                        img = frame[k]
+                        if img.ndim == 3:
+                            y = (
+                                0.114 * img[..., 0].astype(np.float32)
+                                + 0.587 * img[..., 1]
+                                + 0.299 * img[..., 2]
+                            )
+                            frame[k] = np.clip(np.round(y), 0, 255).astype(
+                                np.uint8
+                            )
                 self._prefetch_queue.put(frame)
         except BaseException as e:  # surfaced in run()
             self._prefetch_error = e

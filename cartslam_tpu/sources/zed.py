@@ -41,10 +41,18 @@ class ZEDDataSource(DataSource):
         path: str,
         include_disparity: bool = False,
         image_size: tuple[int, int] | None = None,
+        real_time_mode: bool = False,
+        fps: float = 15.0,
     ):
+        """real_time_mode paces playback at the recording's fps — the
+        CARTSLAM_ZED_REALTIME_MODE option (src/sources/zed.cpp:16-18), as a
+        runtime flag instead of a compile-time define."""
         super().__init__(image_size)
         path = os.path.expanduser(path)
         self.include_disparity = include_disparity
+        self.real_time_mode = real_time_mode
+        self.fps = fps
+        self._t0: float | None = None
         self._frame = 0
 
         if path.endswith(".npz"):
@@ -78,14 +86,28 @@ class ZEDDataSource(DataSource):
         )
 
     def is_next_ready(self) -> bool:
-        return self._frame < self._num
+        if self._frame >= self._num:
+            return False
+        if self.real_time_mode:
+            import time
+
+            if self._t0 is None:
+                self._t0 = time.monotonic()
+            due = self._t0 + self._frame / self.fps
+            return time.monotonic() >= due
+        return True
 
     def is_finished(self) -> bool:
-        return not self.is_next_ready()
+        return self._frame >= self._num
 
     def get_next(self):
         if self.is_finished():
             return None
+        if self.real_time_mode:
+            import time
+
+            while not self.is_next_ready():
+                time.sleep(0.001)
         i = self._frame
         self._frame += 1
         if self._npz is not None:

@@ -91,6 +91,113 @@ def fit_label_planes(labels, points, valid, num_labels):
     ), m["n"]
 
 
+def _plane_from_3pts(p0, p1, p2):
+    """Plane [*, 4] (unit normal) through 3 points; zeros when collinear."""
+    n = jnp.cross(p1 - p0, p2 - p0)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    nn = n / jnp.maximum(norm, 1e-20)
+    d = -jnp.sum(nn * p0, axis=-1, keepdims=True)
+    plane = jnp.concatenate([nn, d], axis=-1)
+    return jnp.where(norm > 1e-12, plane, 0.0)
+
+
+def label_point_table(labels, points, valid, num_labels, sample_k):
+    """Up to `sample_k` valid 3D points per label: [L, K, 3] + counts [L].
+
+    One device sort groups pixels by label (random-keyed within a label so
+    the K kept points are a uniform sample); per-label offsets come from a
+    searchsorted, then one [L, K] gather reads the table.  This is the
+    static-shape replacement for the reference's ragged per-superpixel
+    point vectors (planefit.cu:369-381).
+    """
+    n = labels.size
+    flat_lab = labels.reshape(-1)
+    p = points.reshape(-1, 3).astype(jnp.float32)
+    finite = jnp.isfinite(p).all(axis=-1)
+    ok = valid.reshape(-1) & finite
+    # Invalid pixels sort to a sentinel label past the end.
+    lab = jnp.where(ok, flat_lab, num_labels)
+    mix = jax.random.randint(jax.random.PRNGKey(0), (n,), 0, 1 << 20)
+    order = jnp.lexsort((mix, lab))
+    lab_sorted = lab[order]
+
+    starts = jnp.searchsorted(lab_sorted, jnp.arange(num_labels + 1))
+    counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
+    idx = jnp.minimum(
+        starts[:-1, None] + jnp.arange(sample_k)[None, :], n - 1
+    )
+    slot_valid = jnp.arange(sample_k)[None, :] < counts[:, None]
+    pix = order[idx]  # [L, K] pixel ids
+    table = jnp.where(slot_valid[..., None], p[pix], 0.0)
+    return table, counts
+
+
+def ransac_label_planes(
+    labels,
+    points,
+    valid,
+    num_labels,
+    *,
+    hypotheses: int = 16,
+    sample_k: int = 64,
+    threshold: float = 0.02,
+    min_points: int = 3,
+    seed: int = 0,
+):
+    """Per-label RANSAC plane fit, fully vectorized (all labels x all
+    hypotheses at once).
+
+    The TPU mapping of util::segmentPlane (plane.cpp:99-180): H independent
+    3-point hypotheses per label (vmapped), inliers scored on the label's
+    K-point sample table, winner refit with the closed-form moment solve
+    over ALL of the label's inlier pixels.  The reference's probabilistic
+    early break becomes a fixed hypothesis budget (static shapes).
+
+    Returns ([L, 4] planes, [L] valid-point counts).
+    """
+    table, counts = label_point_table(labels, points, valid, num_labels, sample_k)
+    kmax = jnp.maximum(jnp.minimum(counts, sample_k), 1)
+
+    def one_hypothesis(hkey):
+        sel = jax.random.randint(hkey, (num_labels, 3), 0, 1 << 30) % kmax[:, None]
+        pts = jnp.take_along_axis(table, sel[..., None], axis=1)  # [L, 3, 3]
+        plane = _plane_from_3pts(pts[:, 0], pts[:, 1], pts[:, 2])  # [L, 4]
+        dist = jnp.abs(
+            jnp.einsum("lkc,lc->lk", table, plane[:, :3]) + plane[:, 3:4]
+        )
+        slot = jnp.arange(sample_k)[None, :] < counts[:, None]
+        score = jnp.sum((dist < threshold) & slot, axis=1)
+        return plane, score
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), hypotheses)
+    planes_h, scores_h = jax.vmap(one_hypothesis)(keys)  # [H, L, 4], [H, L]
+    best_h = jnp.argmax(scores_h, axis=0)  # [L]
+    best_plane = jnp.take_along_axis(
+        planes_h,
+        jnp.broadcast_to(best_h[None, :, None], (1, num_labels, 4)),
+        axis=0,
+    )[0]  # [L, 4]
+
+    # Final refit on inliers over ALL pixels (plane.cpp:163-180): restrict
+    # validity to points within `threshold` of the winning hypothesis.
+    two_rows = jnp.concatenate([best_plane.T, best_plane.T], axis=0)  # fast path
+    per_pix_plane = jnp.take(two_rows, labels, axis=1)[:4]  # [4, H, W]
+    pf = points.astype(jnp.float32)
+    dist = jnp.abs(
+        jnp.einsum("hwc,chw->hw", pf, per_pix_plane[:3]) + per_pix_plane[3]
+    )
+    degenerate = jnp.linalg.norm(best_plane[:, :3], axis=-1) < 1e-6
+    inlier = valid & (dist < threshold) & ~degenerate[labels]
+    # The refit keeps the covariance method's own orientation — consistent
+    # across labels, exactly like the reference's final
+    # getPlaneFromPoints(inliers) refit (plane.cpp:163-180); matching the
+    # random 3-point winding instead would randomize normal signs and
+    # fragment downstream orientation clustering.
+    refit, n_in = fit_label_planes(labels, points, inlier, num_labels)
+    ok = (counts >= min_points) & (n_in >= 3) & ~degenerate
+    return jnp.where(ok[:, None], refit, 0.0), counts
+
+
 def count_plane_inliers_per_label(labels, points, valid, planes, num_labels, threshold):
     """Inlier counts [P, L]: per plane, per label, valid points within
     `threshold` of the plane (calculateRegionDistance, planefit.cu:84-138)."""

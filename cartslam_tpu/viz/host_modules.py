@@ -77,23 +77,70 @@ class DepthVisualization(HostModule):
         return np.repeat(img[..., None], 3, axis=-1)
 
 
+def _draw_line(img, p0, p1, color):
+    """Tiny AA-free line rasterizer (numpy; keeps the viz cv2-free)."""
+    n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]), 1))
+    xs = np.linspace(p0[0], p1[0], n + 1).round().astype(int)
+    ys = np.linspace(p0[1], p1[1], n + 1).round().astype(int)
+    m = (xs >= 0) & (ys >= 0) & (xs < img.shape[1]) & (ys < img.shape[0])
+    img[ys[m], xs[m]] = color
+
+
+def _draw_arrow(img, p0, p1, color):
+    _draw_line(img, p0, p1, color)
+    # Two short head strokes at ~30 degrees.
+    v = np.array([p0[0] - p1[0], p0[1] - p1[1]], np.float32)
+    n = np.linalg.norm(v)
+    if n < 1:
+        return
+    v = v / n * min(6.0, n * 0.3)
+    for ang in (0.5, -0.5):
+        c, s = np.cos(ang), np.sin(ang)
+        tip = (p1[0] + v[0] * c - v[1] * s, p1[1] + v[0] * s + v[1] * c)
+        _draw_line(img, p1, tip, color)
+
+
 class OpticalFlowVisualization(HostModule):
+    """Flow panel stack + probe arrows (src/modules/optflow.cpp:134-173).
+
+    Layout matches the reference: current image / previous image /
+    false-color flow, with green arrows from each probe point (drawn in
+    the previous-image panel) to point - flow (current panel coords).
+    """
+
     name = "ImageOpticalFlowVisualization"
 
     def __init__(self, points: int = 10):
         self.points = points
+        self._probes = None
+        self._prev_left: np.ndarray | None = None
 
     def requires(self):
         return [Dependency("optflow")]
 
     def render(self, ctx, frame_id, frame, fetched, globals_):
-        if frame_id <= 1:
+        left = _left_bgr(frame)
+        prev = self._prev_left
+        self._prev_left = left.copy()
+        if frame_id <= 1 or prev is None:
             return None
         flow = fetched["optflow"].astype(np.float32) / 32.0
         fx, fy = flow[..., 0], flow[..., 1]
+        h, w = fx.shape
+        if self._probes is None:
+            rng = np.random.RandomState(271)  # fixed probes, like the module
+            self._probes = np.stack(
+                [rng.randint(0, w, self.points), rng.randint(0, h, self.points)],
+                axis=-1,
+            )
         maxrad = np.sqrt(max((fx**2 + fy**2).max(), 1.0))
-        img = compute_color(fx / maxrad, fy / maxrad)
-        return np.concatenate([_left_bgr(frame), img], axis=0)
+        flow_img = compute_color(fx / maxrad, fy / maxrad)
+        out = np.concatenate([left, prev, flow_img], axis=0).copy()
+        for px, py in self._probes:
+            start = (int(px), int(py) + h)  # probe in the previous panel
+            end = (int(px - fx[py, px]), int(py - fy[py, px]))
+            _draw_arrow(out, start, end, np.array([0, 255, 0], np.uint8))
+        return out
 
 
 class SuperPixelVisualization(HostModule):

@@ -95,6 +95,84 @@ def test_superpixel_planeseg_pipeline():
 
 
 def test_error_in_one_frame_does_not_kill_loop(monkeypatch):
+    """Genuine fault injection at FETCH time (where async device errors
+    surface): the frame is dropped, state recovers from the snapshot, and
+    the loop continues to the end (src/main.cpp:48-54 semantics)."""
+    mods = [
+        {"type": "disparity", "num_disparities": 16, "min_disparity": 0},
+        {"type": "optflow"},  # carried state exercises snapshot recovery
+    ]
+    system = build_system(dict(SRC), mods, extra_fetch_keys=["disparity"])
+
+    orig = system._fetch_with_timeout
+    calls = {"n": 0}
+
+    def flaky(outputs):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected async device failure")
+        return orig(outputs)
+
+    monkeypatch.setattr(system, "_fetch_with_timeout", flaky)
+    results = {}
+    n = system.run(on_frame=lambda fid, out: results.update({fid: out}))
+    assert system.failed_frames, "injected failure was not recorded"
+    assert n >= 4, n  # all but the failed frame (and its poisoned chain)
+    assert max(results) == 6  # the loop reached the end of the sequence
+
+
+def test_fetch_watchdog_times_out(monkeypatch):
+    """A hung result fetch raises DataNotAvailableException after
+    data_timeout (the reference's 20 s guard, src/utils/data.cpp:42-49) and
+    the loop still completes."""
+    import time as _time
+
+    from cartslam_tpu.runtime.system import DataNotAvailableException
+
     mods = [{"type": "disparity", "num_disparities": 16, "min_disparity": 0}]
-    system, results = run(mods, ["disparity"])
-    assert len(results) == 6
+    system = build_system(
+        dict(SRC), mods, extra_fetch_keys=["disparity"], data_timeout=0.05
+    )
+    calls = {"n": 0}
+
+    class Hang:
+        def items(self):
+            _time.sleep(0.5)
+            return []
+
+    orig_fetch = system._fetch_with_timeout
+
+    def maybe_hang(outputs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            return orig_fetch(Hang())
+        return orig_fetch(outputs)
+
+    monkeypatch.setattr(system, "_fetch_with_timeout", maybe_hang)
+    n = system.run()
+    assert system.failed_frames, "watchdog timeout not recorded"
+    assert n >= 4
+
+
+def test_grayscale_whole_pipeline():
+    """CARTSLAM_IMAGE_MAKE_GRAYSCALE equivalent: every module runs on
+    1-channel images end-to-end."""
+    mods = [
+        {"type": "disparity", "num_disparities": 48, "min_disparity": 0},
+        {"type": "disparity_derivative"},
+        {"type": "superpixels", "block_size": 8, "initial_iterations": 4,
+         "iterations": 2},
+        {
+            "type": "superpixel_disparity_planeseg",
+            "parameter_provider": {"type": "histogram_peak"},
+        },
+    ]
+    system = build_system(
+        dict(SRC), mods, grayscale=True, extra_fetch_keys=["planes", "disparity"]
+    )
+    results = {}
+    n = system.run(on_frame=lambda fid, out: results.update({fid: out}))
+    assert n == 6
+    out = results[6]
+    assert out["planes"].shape == (64, 128)
+    assert (out["disparity"] != -32768).mean() > 0.5

@@ -78,3 +78,44 @@ def test_multiseq_batched_step(mesh):
     with mesh:
         _, out = jax.jit(step)(state, frame, init_params())
     assert out["disparity"].shape == (b, h, w)
+
+
+def test_multiseq_system_from_config(mesh, tmp_path):
+    """The user-launchable multiseq mode: config -> MultiSeqSystem -> run,
+    batch sharded over the 8-device mesh, lock-step sequences."""
+    import json
+
+    from cartslam_tpu.config import read_system_config
+    from cartslam_tpu.parallel.system import MultiSeqSystem
+
+    cfg = {
+        "data_source": {
+            "type": "synthetic",
+            "image_size": [32, 64],
+            "num_frames": 4,
+        },
+        "parallel": {"mode": "multiseq", "batch": 8},
+        "modules": [
+            {"type": "disparity", "min_disparity": 0, "num_disparities": 16},
+            {"type": "disparity_derivative"},
+            {"type": "optflow"},
+        ],
+    }
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+
+    system = read_system_config(str(p))
+    assert isinstance(system, MultiSeqSystem)
+    assert dict(system.mesh.shape) == {"data": 8}
+
+    seen = {}
+
+    def on_frame(fid, fetched):
+        seen[fid] = fetched
+
+    n = system.run(on_frame=on_frame)
+    assert n == 4 * 8
+    assert sorted(seen) == [1, 2, 3, 4]
+    # Carried state is batch-leading (one slot per sequence).
+    prev_gray = system.final_state["modules"]["ImageOpticalFlow"]["prev_gray"]
+    assert prev_gray.shape == (8, 32, 64)

@@ -96,3 +96,41 @@ def test_planefit_module():
     assert out["assignments"].shape == (num_labels,)
     assert len(out["planes"]) >= 1
     assert (out["assignments"] > 0).sum() >= 16
+
+
+def test_ransac_robust_to_speckle_lsq_is_not():
+    """VERDICT r1 item 6: with 10% speckle depth outliers, the vectorized
+    RANSAC still recovers the true plane; the all-points LSQ demonstrably
+    does not."""
+    import jax.numpy as jnp
+    from cartslam_tpu.utils import plane_math
+
+    rng = np.random.RandomState(3)
+    h, w = 48, 64
+    labels = jnp.zeros((h, w), jnp.int32)  # one superpixel
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    # True plane: z = 0.02x + 0.01y + 5  ->  [0.02, 0.01, -1, 5] direction
+    z = 0.02 * xs + 0.01 * ys + 5.0
+    speckle = rng.rand(h, w) < 0.10
+    z_noisy = np.where(speckle, z + rng.uniform(3.0, 20.0, (h, w)), z)
+    pts = np.stack([xs, ys, z_noisy], axis=-1)
+    valid = jnp.ones((h, w), bool)
+
+    clean = np.stack([xs, ys, z], axis=-1).reshape(-1, 3)
+
+    def surf_err(plane):
+        """Mean distance of the TRUE surface to the fitted plane."""
+        p = np.asarray(plane, np.float64)
+        n = max(np.linalg.norm(p[:3]), 1e-12)
+        return float(np.abs(clean @ p[:3] + p[3]).mean() / n)
+
+    r_planes, _ = plane_math.ransac_label_planes(
+        labels, jnp.asarray(pts), valid, 1, threshold=0.05, hypotheses=32
+    )
+    l_planes, _ = plane_math.fit_label_planes(labels, jnp.asarray(pts), valid, 1)
+
+    assert surf_err(np.asarray(r_planes)[0]) < 0.05, np.asarray(r_planes)[0]
+    # The all-points LSQ absorbs the speckle bias (offset pulled ~1 unit
+    # off the surface) — the robustness gap RANSAC exists to close.
+    assert surf_err(np.asarray(l_planes)[0]) > 0.5, np.asarray(l_planes)[0]
