@@ -1,0 +1,261 @@
+"""Contour-relaxation phase sweep as a fused Pallas TPU kernel.
+
+One phase of the dense relaxation (ops/superpixels.py:phase_update) costs
+~2 ms/iteration in XLA at KITTI geometry — dominated by materializing the
+nine shifted [n_stat, H, W] candidate stat stacks in HBM.  This kernel
+keeps a row band of the stat image (plus 1-row halos) in VMEM and runs the
+whole candidate sweep there: the shifted views become static slices, the
+Gaussian/compactness delta costs and the clique costs are VPU chains on
+[hb, W] planes, and only the updated band is written back.
+
+Semantics are IDENTICAL to the jnp path (same traversal order, same
+strict-< tie-break, same edge conventions: OOB candidate labels masked,
+edge-clamped stat halos); tests/test_superpixels_pallas.py asserts
+bit-equality in interpret mode.  Fixed-table ('frame') statistics mode
+only — the carried stat image is updated from the winning candidate's
+rows exactly like the jnp path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_OOB = -1
+_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+_DIRECT = {(-1, 0), (1, 0), (0, -1), (0, 1)}
+
+
+def _make_phase_kernel(
+    hb, w, nstat, c_total, ch_off, kinds, weights, progressive,
+    direct_cost, diagonal_cost, phase, num_phases, real_h, img_h,
+):
+    """ch_off: tuple of (offset, channels) per feature; kinds/weights
+    aligned; progressive: per-feature progressive factor (0 = off)."""
+
+    def gaussian_cost(n, s_list, ss_list):
+        per = None
+        for s, ss in zip(s_list, ss_list):
+            n_safe = jnp.maximum(n, 1.0)
+            var = jnp.maximum(ss / n_safe - (s / n_safe) ** 2, 1.0 / 12.0)
+            t = n / 2.0 * jnp.log(2.0 * math.pi * var) + n / 2.0
+            per = t if per is None else per + t
+        cost = per / len(s_list)
+        return jnp.where(n > 0, cost, 0.0)
+
+    def compact_cost(n, s_list, ss_list):
+        per = None
+        for s, ss in zip(s_list, ss_list):
+            t = ss - (s * s) / jnp.maximum(n, 1.0)
+            per = t if per is None else per + t
+        return jnp.where(n > 0, per, 0.0)
+
+    def feature_costs(rows):
+        """rows: list of nstat [hb, W] planes -> per-feature cost planes."""
+        n = rows[0]
+        out = []
+        for kind, (off, c) in zip(kinds, ch_off):
+            s_list = [rows[1 + off + k] for k in range(c)]
+            ss_list = [rows[1 + c_total + off + k] for k in range(c)]
+            out.append(
+                gaussian_cost(n, s_list, ss_list)
+                if kind == "gaussian"
+                else compact_cost(n, s_list, ss_list)
+            )
+        return out
+
+    def kernel(labp, labc, labn, stp, stc, stn, pix, out_lab, out_stat):
+        i = pl.program_id(0)
+        # Assembled [hb+2, W] label window and [nstat, hb+2, W] stat window.
+        lab = jnp.concatenate([labp[-1:], labc[...], labn[:1]], axis=0)
+        st = jnp.concatenate([stp[:, -1:], stc[...], stn[:, :1]], axis=1)
+
+        gr0 = i * hb  # global row of the band's first row
+        rows = jax.lax.broadcasted_iota(jnp.int32, (hb, w), 0) + gr0
+        cols = jax.lax.broadcasted_iota(jnp.int32, (hb, w), 1)
+
+        def lab_shift(dy, dx):
+            """labels[y+dy, x+dx] with OOB -> _OOB (matches _shift)."""
+            v = lab[1 + dy : 1 + dy + hb]
+            if dx > 0:
+                v = jnp.concatenate([v[:, dx:], v[:, -1:]], axis=1)
+            elif dx < 0:
+                v = jnp.concatenate([v[:, :1], v[:, :dx]], axis=1)
+            oob = (rows + dy < 0) | (rows + dy >= real_h)
+            if dx > 0:
+                oob = oob | (cols + dx >= w)
+            elif dx < 0:
+                oob = oob | (cols + dx < 0)
+            return jnp.where(oob, _OOB, v)
+
+        def stat_shift(dy, dx):
+            """Edge-clamped shifted stat rows (matches _shift_stack)."""
+            v = st[:, 1 + dy : 1 + dy + hb]
+            if dy != 0:
+                # Vertical edge clamp at the true image borders.
+                oobv = (rows + dy < 0) | (rows + dy >= real_h)
+                v = jnp.where(oobv[None], st[:, 1 : 1 + hb], v)
+            if dx > 0:
+                v = jnp.concatenate([v[:, :, dx:], v[:, :, -1:]], axis=2)
+            elif dx < 0:
+                v = jnp.concatenate([v[:, :, :1], v[:, :, :dx]], axis=2)
+            return [v[k] for k in range(nstat)]
+
+        labels = lab[1 : 1 + hb]
+        nbs = {}
+        boundary = jnp.zeros((hb, w), bool)
+        for (dx, dy) in _OFFSETS:
+            nb = lab_shift(dy, dx)
+            nbs[(dx, dy)] = nb
+            if dx == 0 and dy == 0:
+                continue
+            boundary = boundary | ((nb != _OOB) & (nb != labels))
+
+        if num_phases == 1:
+            active = boundary
+        else:
+            active = boundary & ((rows + cols) % num_phases == phase)
+
+        stat_rows = [st[k, 1 : 1 + hb] for k in range(nstat)]
+        pix_rows = [pix[k] for k in range(nstat)]
+        cost_img = feature_costs(stat_rows)
+        old_minus = feature_costs(
+            [a - b for a, b in zip(stat_rows, pix_rows)]
+        )
+
+        prog = None
+        if any(p > 0.0 for p in progressive):
+            pval = max(progressive)
+            prog = 1.0 + pval * (img_h - rows.astype(jnp.float32)) / float(img_h)
+
+        best_cost = jnp.full((hb, w), jnp.inf, jnp.float32)
+        best_label = labels
+        upd = list(stat_rows)
+        for (dx, dy) in _OFFSETS:
+            cand = nbs[(dx, dy)]
+            cand_valid = cand != _OOB
+            cand_c = jnp.where(cand_valid, cand, 0)
+            cand_rows = stat_shift(dy, dx)
+            # Candidate label cost: recomputed from the shifted stat rows —
+            # cost is a pointwise function of the moments, so this equals
+            # the jnp path's shifted cost image wherever the candidate is
+            # in bounds (OOB candidates are masked to inf below).
+            cand_cost = feature_costs(cand_rows)
+
+            clique = jnp.zeros((hb, w), jnp.float32)
+            for (dx2, dy2) in _OFFSETS:
+                if dx2 == 0 and dy2 == 0:
+                    continue
+                nb2 = nbs[(dx2, dy2)]
+                cc = direct_cost if (dx2, dy2) in _DIRECT else diagonal_cost
+                clique = clique + jnp.where(
+                    (nb2 != _OOB) & (nb2 != cand_c), cc, 0.0
+                ).astype(jnp.float32)
+
+            cand_plus = feature_costs(
+                [a + b for a, b in zip(cand_rows, pix_rows)]
+            )
+
+            total = clique
+            is_old = cand_c == labels
+            for fidx, kind in enumerate(kinds):
+                delta = (
+                    old_minus[fidx]
+                    + cand_plus[fidx]
+                    - cost_img[fidx]
+                    - cand_cost[fidx]
+                )
+                if kind == "compactness" and prog is not None:
+                    delta = delta * prog
+                total = total + weights[fidx] * jnp.where(is_old, 0.0, delta)
+
+            total = jnp.where(cand_valid, total, jnp.float32(jnp.inf))
+            take = total < best_cost
+            best_cost = jnp.where(take, total, best_cost)
+            best_label = jnp.where(take, cand_c, best_label)
+            upd = [jnp.where(take, c, u) for c, u in zip(cand_rows, upd)]
+
+        new_labels = jnp.where(active, best_label, labels)
+        out_lab[...] = new_labels
+        for k in range(nstat):
+            out_stat[k] = jnp.where(active, upd[k], stat_rows[k])
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ch_off", "kinds", "weights", "progressive", "direct_cost",
+        "diagonal_cost", "phase", "num_phases", "interpret",
+    ),
+)
+def relax_phase_pallas(
+    labels: jnp.ndarray,
+    stat_img: jnp.ndarray,
+    pixel_rows: jnp.ndarray,
+    *,
+    ch_off: tuple,
+    kinds: tuple,
+    weights: tuple,
+    progressive: tuple,
+    direct_cost: float,
+    diagonal_cost: float,
+    phase: int,
+    num_phases: int,
+    interpret: bool = False,
+):
+    """One fixed-table relaxation sweep.  Returns (new_labels, new_stat)."""
+    h, w = labels.shape
+    nstat = stat_img.shape[0]
+    c_total = (nstat - 1) // 2
+    hb = 8
+    hp = -(-h // hb) * hb
+    if hp != h:
+        labels = jnp.pad(labels, ((0, hp - h), (0, 0)))
+        stat_img = jnp.pad(stat_img, ((0, 0), (0, hp - h), (0, 0)))
+        pixel_rows = jnp.pad(pixel_rows, ((0, 0), (0, hp - h), (0, 0)))
+    nblk = hp // hb
+
+    def clamp(idx):
+        return jnp.clip(idx, 0, nblk - 1)
+
+    lab_spec = lambda off: pl.BlockSpec(
+        (hb, w), lambda i: (clamp(i + off), 0), memory_space=pltpu.VMEM
+    )
+    st_spec = lambda off: pl.BlockSpec(
+        (nstat, hb, w),
+        lambda i: (0, clamp(i + off), 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    kern = _make_phase_kernel(
+        hb, w, nstat, c_total, ch_off, kinds, weights, progressive,
+        direct_cost, diagonal_cost, phase, num_phases, real_h=h, img_h=h,
+    )
+    new_labels, new_stat = pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[
+            lab_spec(-1), lab_spec(0), lab_spec(1),
+            st_spec(-1), st_spec(0), st_spec(1),
+            st_spec(0),  # pixel_rows, current band only
+        ],
+        out_specs=[
+            pl.BlockSpec((hb, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (nstat, hb, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, w), jnp.int32),
+            jax.ShapeDtypeStruct((nstat, hp, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(labels, labels, labels, stat_img, stat_img, stat_img, pixel_rows)
+    return new_labels[:h], new_stat[:, :h]

@@ -142,7 +142,8 @@ def _make_vsweep(h, wt, d, p1, p2, rows_per_step, backward):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "min_disparity", "num_disparities", "p1", "p2", "interpret", "flip"
+        "min_disparity", "num_disparities", "p1", "p2", "interpret", "flip",
+        "combine",
     ),
 )
 def sgm_aggregate_pallas(
@@ -155,6 +156,7 @@ def sgm_aggregate_pallas(
     p2: int = 120,
     interpret: bool = False,
     flip: bool = True,
+    combine: str = "sum",
 ) -> jnp.ndarray:
     """4-path aggregated cost [H, W, D] int16 from census word pairs [H, W].
 
@@ -268,6 +270,12 @@ def sgm_aggregate_pallas(
         interpret=interpret,
     )
     s_bt = bt(cost_hdw)
+
+    if combine == "volumes":
+        # For the fused WTA/LR kernel: [H, D, Wv] int16, reversed d.
+        s_hdw = jnp.transpose(s_lr + s_rl, (2, 1, 0))  # [H, D, Wb]
+        s_hdw = jnp.pad(s_hdw, ((0, 0), (0, 0), (0, wv - wb)))
+        return s_hdw, s_tb[:h], s_bt[:h], wv
 
     # Combine in a common [H, W, D] layout and un-reverse the d axis.
     # int16 is exact: each normalized path value <= C_max + P2, so the

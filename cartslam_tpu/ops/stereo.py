@@ -317,31 +317,38 @@ def sgm_disparity(
         # rocm) takes the XLA path.
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
+    h, w = left_gray.shape
     cl = census_transform(left_gray)
     cr = census_transform(right_gray)
     if backend in ("pallas", "pallas_interpret") and num_paths == 4:
         from .pallas.sgm import sgm_aggregate_pallas
+        from .pallas.wta import sgm_wta_lr_pallas
 
-        # flip=False keeps the kernel's reversed-d layout; the WTA/LR below
-        # work in that space directly (saves two full-volume flips).
-        s = sgm_aggregate_pallas(
+        # The sweeps emit the three summed volumes in their reversed-d
+        # layouts; the fused kernel runs WTA + uniqueness + subpixel + LR
+        # in one VMEM pass (bit-identical to the XLA path below).
+        interp = backend == "pallas_interpret"
+        s_hdw, s_tb, s_bt, _ = sgm_aggregate_pallas(
             cl, cr, min_disparity=min_disparity, num_disparities=num_disparities,
-            p1=p1, p2=p2, flip=False, interpret=backend == "pallas_interpret",
+            p1=p1, p2=p2, combine="volumes", interpret=interp,
         )
-        reversed_d = True
-    else:
-        cost = hamming_cost_volume(cl, cr, min_disparity, num_disparities)
-        s = sgm_aggregate(cost, p1, p2, num_paths)  # [H, W, D]
-        reversed_d = False
+        disp = sgm_wta_lr_pallas(
+            s_hdw, s_tb, s_bt,
+            min_disparity=min_disparity, uniqueness=uniqueness,
+            subpixel=subpixel, lr_check=lr_check, real_w=w, interpret=interp,
+        )
+        return disp[:, :w]
 
-    disp16, best, valid = _wta(s, min_disparity, uniqueness, subpixel, reversed_d)
+    cost = hamming_cost_volume(cl, cr, min_disparity, num_disparities)
+    s = sgm_aggregate(cost, p1, p2, num_paths)  # [H, W, D]
 
-    h, w = left_gray.shape
+    disp16, best, valid = _wta(s, min_disparity, uniqueness, subpixel)
+
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     valid = valid & (cols >= best + min_disparity)
 
     if lr_check:
-        valid = valid & _lr_agreement(s, best, min_disparity, reversed_d)
+        valid = valid & _lr_agreement(s, best, min_disparity, False)
 
     out = jnp.where(valid, disp16, DISPARITY_INVALID)
     return out.astype(jnp.int16)

@@ -138,6 +138,7 @@ def relax(
     diagonal_cost: float,
     phases: int = 1,
     stats_refresh: str = "phase",
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Run `iterations` relaxation sweeps; returns the new label image.
 
@@ -313,15 +314,41 @@ def relax(
         # scatter at all.
         stat_img0 = jnp.take(stats0, labels, axis=1)
 
-        def one_iteration(carry, _):
-            labels, stat_img = carry
-            for phase in range(phases):
-                new_labels, upd_img, active = phase_update(
-                    labels, stat_img, phase, phases
-                )
-                stat_img = jnp.where(active[None], upd_img, stat_img)
-                labels = new_labels
-            return (labels, stat_img), None
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+        if backend in ("pallas", "pallas_interpret"):
+            from .pallas.relax import relax_phase_pallas
+
+            meta = dict(
+                ch_off=tuple(ch_off),
+                kinds=tuple(s.kind for s in specs),
+                weights=tuple(float(s.weight) for s in specs),
+                progressive=tuple(float(s.progressive) for s in specs),
+                direct_cost=float(direct_cost),
+                diagonal_cost=float(diagonal_cost),
+                num_phases=phases,
+                interpret=backend == "pallas_interpret",
+            )
+
+            def one_iteration(carry, _):
+                labels, stat_img = carry
+                for phase in range(phases):
+                    labels, stat_img = relax_phase_pallas(
+                        labels, stat_img, pixel_rows, phase=phase, **meta
+                    )
+                return (labels, stat_img), None
+        else:
+
+            def one_iteration(carry, _):
+                labels, stat_img = carry
+                for phase in range(phases):
+                    new_labels, upd_img, active = phase_update(
+                        labels, stat_img, phase, phases
+                    )
+                    stat_img = jnp.where(active[None], upd_img, stat_img)
+                    labels = new_labels
+                return (labels, stat_img), None
 
         (labels, _), _ = jax.lax.scan(
             one_iteration, (labels, stat_img0), None, length=iterations
