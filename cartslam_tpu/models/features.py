@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import color
-from ..ops.features import detect_orb
+from ..ops.features import detect_orb_pyramid
 from ..runtime.module import Module, PipelineContext
 
 KEY_FEATURES = "features"
@@ -23,9 +23,15 @@ KEY_DESCRIPTORS = "feature_descriptors"
 class ImageFeatureDetectorModule(Module):
     name = "ImageFeatureDetector"
 
-    def __init__(self, max_keypoints: int = 5000, threshold: int = 20):
+    def __init__(
+        self,
+        max_keypoints: int = 5000,
+        threshold: int = 20,
+        levels: int = 3,
+    ):
         self.max_keypoints = max_keypoints
         self.threshold = threshold
+        self.levels = levels
 
     def provides(self):
         return [KEY_FEATURES, KEY_DESCRIPTORS]
@@ -33,7 +39,7 @@ class ImageFeatureDetectorModule(Module):
     def output_spec(self, ctx: PipelineContext):
         k = self.max_keypoints
         return {
-            KEY_FEATURES: jax.ShapeDtypeStruct((2, k, 3), jnp.float32),
+            KEY_FEATURES: jax.ShapeDtypeStruct((2, k, 4), jnp.float32),
             KEY_DESCRIPTORS: jax.ShapeDtypeStruct((2, k, 8), jnp.uint32),
         }
 
@@ -42,7 +48,9 @@ class ImageFeatureDetectorModule(Module):
         descs = []
         for img in (step.frame["left"], step.frame["right"]):
             gray = img if ctx.grayscale else color.bgr_to_gray(img)
-            kps, d = detect_orb(gray, self.max_keypoints, self.threshold)
+            kps, d = detect_orb_pyramid(
+                gray, self.max_keypoints, self.threshold, self.levels
+            )
             outs.append(kps)
             descs.append(d)
         return {

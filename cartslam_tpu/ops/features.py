@@ -132,3 +132,59 @@ def detect_orb(gray: jnp.ndarray, max_keypoints: int = 5000, threshold: int = 20
         axis=-1,
     )
     return kps, desc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_keypoints", "threshold", "levels", "scale"),
+)
+def detect_orb_pyramid(
+    gray: jnp.ndarray,
+    max_keypoints: int = 5000,
+    threshold: int = 20,
+    levels: int = 3,
+    scale: float = 1.4142135,
+):
+    """Multi-scale ORB: FAST+rBRIEF per pyramid level, keypoints mapped to
+    level-0 coordinates.
+
+    Matches cv::cuda::ORB's scale coverage (the reference detector is
+    pyramidal, src/modules/features.cpp:48-66): the keypoint budget splits
+    across levels proportionally to level area (OpenCV's
+    ORB_Impl::buildScalePyramid distribution).  Returns
+    (keypoints [K, 4] float32 (x, y, score, level), descriptors [K, 8]).
+    """
+    h, w = gray.shape
+    areas = np.array([(1.0 / scale) ** (2 * i) for i in range(levels)])
+    ks = np.maximum((areas / areas.sum() * max_keypoints).astype(int), 1)
+    ks[0] += max_keypoints - int(ks.sum())  # exact total
+
+    g = gray.astype(jnp.float32)
+    kps_all, desc_all = [], []
+    for lvl in range(levels):
+        factor = scale ** lvl
+        if lvl == 0:
+            gl = gray
+        else:
+            lh, lw = max(int(round(h / factor)), _PATCH + 2), max(
+                int(round(w / factor)), _PATCH + 2
+            )
+            gl = jnp.clip(
+                jnp.round(jax.image.resize(g, (lh, lw), "linear")), 0, 255
+            ).astype(jnp.uint8)
+        kps, desc = detect_orb(gl, int(ks[lvl]), threshold)
+        sx = w / gl.shape[1]
+        sy = h / gl.shape[0]
+        kps = jnp.concatenate(
+            [
+                kps[:, :1] * sx,
+                kps[:, 1:2] * sy,
+                kps[:, 2:3],
+                jnp.full((kps.shape[0], 1), float(lvl), jnp.float32),
+            ],
+            axis=-1,
+        )
+        # Invalid slots keep score 0 regardless of level column use.
+        kps_all.append(kps)
+        desc_all.append(desc)
+    return jnp.concatenate(kps_all, axis=0), jnp.concatenate(desc_all, axis=0)

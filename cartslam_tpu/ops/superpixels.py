@@ -331,13 +331,17 @@ def relax(
                 interpret=backend == "pallas_interpret",
             )
 
-            def one_iteration(carry, _):
-                labels, stat_img = carry
+            # Python-unrolled iterations: the kernel calls are compact HLO,
+            # and unrolling avoids lax.scan's double-buffered copies of the
+            # [nstat, H, W] carry (a few ms/frame at KITTI geometry).
+            stat_img = stat_img0
+            for _ in range(iterations):
                 for phase in range(phases):
                     labels, stat_img = relax_phase_pallas(
                         labels, stat_img, pixel_rows, phase=phase, **meta
                     )
-                return (labels, stat_img), None
+            return labels
+
         else:
 
             def one_iteration(carry, _):

@@ -251,7 +251,9 @@ class FeatureVisualization(HostModule):
 
     def render(self, ctx, frame_id, frame, fetched, globals_):
         img = _left_bgr(frame).copy()
-        feats = fetched["features"]  # [K, 3] (x, y, valid)
+        feats = fetched["features"]  # [2, K, 4] (x, y, score, level)
+        if feats.ndim == 3:
+            feats = feats[0]  # left image's keypoints
         for x, y, v in feats[:, :3]:
             if v <= 0:
                 continue

@@ -35,3 +35,20 @@ def test_descriptors_deterministic():
     kps1, d1 = detect_orb(jnp.array(img), max_keypoints=64, threshold=20)
     kps2, d2 = detect_orb(jnp.array(img), max_keypoints=64, threshold=20)
     np.testing.assert_array_equal(np.array(d1), np.array(d2))
+
+
+def test_pyramid_detects_multiscale():
+    from cartslam_tpu.ops.features import detect_orb_pyramid
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (96, 128)).astype(np.uint8)
+    kps, desc = detect_orb_pyramid(jnp.array(img), max_keypoints=128,
+                                   threshold=15, levels=3)
+    kps = np.array(kps)
+    assert kps.shape == (128, 4) and desc.shape == (128, 8)
+    valid = kps[kps[:, 2] > 0]
+    assert len(valid) > 30
+    # Keypoints exist at more than one pyramid level.
+    assert len(np.unique(valid[:, 3])) >= 2
+    # Coordinates are in level-0 space.
+    assert valid[:, 0].max() < 128 and valid[:, 1].max() < 96
