@@ -234,7 +234,11 @@ def build_system(
 
         from ..parallel.system import MultiSeqSystem
 
-        dropped = {k: v for k, v in system_kwargs.items() if v}
+        ms_keys = {"checkpoint_path", "checkpoint_interval", "resume_from"}
+        ms_kwargs = {k: v for k, v in system_kwargs.items() if k in ms_keys}
+        dropped = {
+            k: v for k, v in system_kwargs.items() if v and k not in ms_keys
+        }
         if dropped:
             import logging
 
@@ -250,6 +254,7 @@ def build_system(
             max_frames=max_frames,
             max_in_flight=max_in_flight,
             extra_fetch_keys=extra_fetch_keys,
+            **ms_kwargs,
         )
 
     return System(

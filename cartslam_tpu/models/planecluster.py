@@ -39,10 +39,11 @@ def _fit(labels, depth, num_labels, method="ransac"):
     return planes, npts
 
 
-def _adjacency(labels: np.ndarray, num_labels: int) -> list[set[int]]:
-    """Label adjacency from the 4 shift comparisons, vectorized: pack each
-    boundary pair into one int64, np.unique once, then split — no Python
-    loop over pixels (planecluster.cpp:70-93 builds the same graph)."""
+def _adjacency_edges(labels: np.ndarray, num_labels: int) -> np.ndarray:
+    """Unique label adjacency edges [E, 2] from the 4 shift comparisons,
+    vectorized: pack each boundary pair into one int64, np.unique once —
+    no Python loop over pixels (planecluster.cpp:70-93 builds the same
+    graph)."""
     h, w = labels.shape
     lab = labels.astype(np.int64)
     pairs = []
@@ -56,9 +57,13 @@ def _adjacency(labels: np.ndarray, num_labels: int) -> list[set[int]]:
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         pairs.append(lo * num_labels + hi)
     uniq = np.unique(np.concatenate(pairs)) if pairs else np.zeros(0, np.int64)
-    la, lb = uniq // num_labels, uniq % num_labels
+    return np.stack([uniq // num_labels, uniq % num_labels], axis=-1)
+
+
+def _adjacency(labels: np.ndarray, num_labels: int) -> list[set[int]]:
+    edges = _adjacency_edges(labels, num_labels)
     neigh: list[set[int]] = [set() for _ in range(num_labels)]
-    for x, y in zip(la.tolist(), lb.tolist()):
+    for x, y in zip(edges[:, 0].tolist(), edges[:, 1].tolist()):
         neigh[x].add(y)
         neigh[y].add(x)
     return neigh
@@ -92,6 +97,24 @@ class SuperPixelPlaneClusterModule(HostModule):
         )
         norms = np.linalg.norm(planes[:, :3], axis=-1)
         ok = (npts >= self.min_points) & (norms > 0)
+
+        from .. import native
+
+        if native.available():
+            # The same region growing the reference runs natively
+            # (planecluster.cpp:98-167), as a C++ core over the vectorized
+            # edge list; the Python BFS below is the fallback.
+            edges = _adjacency_edges(labels, L)
+            assignments, cplanes = native.grow_clusters(
+                L, edges, planes.astype(np.float64), ok,
+                yaw_pitch_thresh=0.2, d_thresh=3.0,
+                min_cluster=self.min_cluster,
+            )
+            globals_[KEY_PLANES_EQ] = {
+                "planes": cplanes if len(cplanes) else np.zeros((0, 4)),
+                "assignments": assignments,
+            }
+            return None
 
         # Orientation stats (planecluster.cpp:57-68).
         a, b, c, d = planes.T

@@ -54,6 +54,9 @@ class MultiSeqSystem:
         max_frames: int | None = None,
         max_in_flight: int = 4,
         extra_fetch_keys: Iterable[str] = (),
+        checkpoint_path: str | None = None,
+        checkpoint_interval: int = 100,
+        resume_from: str | None = None,
     ):
         self.sources = list(sources)
         self.batch = len(self.sources)
@@ -63,6 +66,9 @@ class MultiSeqSystem:
         self.image_sink = image_sink
         self.max_frames = max_frames
         self.max_in_flight = max_in_flight
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_interval = checkpoint_interval
+        self.resume_from = resume_from
         self.global_data: dict[str, Any] = {}
 
         devs = list(devices) if devices is not None else jax.devices()
@@ -111,14 +117,28 @@ class MultiSeqSystem:
         """Process until any source is exhausted; returns frames processed
         (lock-step rounds x batch)."""
         one = self.pipeline.init_state()
-        state = jax.device_put(
-            jax.tree.map(lambda x: np.stack([x] * self.batch, axis=0), one),
-            self._shard,
-        )
+        init_batched = jax.tree.map(lambda x: np.stack([x] * self.batch, axis=0), one)
+        start_frame = 0
+        if self.resume_from is not None:
+            from ..runtime.checkpoint import load_checkpoint
+
+            raw, start_frame, host_state = load_checkpoint(
+                self.resume_from, init_batched
+            )
+            state = jax.device_put(raw, self._shard)
+            for m in self.pipeline.modules:
+                if m.name in host_state:
+                    m.restore_host_state(host_state[m.name])
+            for s in self.sources:
+                if hasattr(s, "skip"):
+                    s.skip(start_frame)
+            log.info("resumed from %s at round %d", self.resume_from, start_frame)
+        else:
+            state = jax.device_put(init_batched, self._shard)
         host_params = self.pipeline.init_host_params()
 
         in_flight = []
-        frame_id = 0
+        frame_id = start_frame
         processed = 0
         sys_handle = self.timing.init_timing("system", 0).begin()
 
@@ -159,6 +179,21 @@ class MultiSeqSystem:
             in_flight.append((frame_id, handle, outputs))
             while len(in_flight) >= self.max_in_flight:
                 drain_one()
+
+            if (
+                self.checkpoint_path is not None
+                and frame_id % self.checkpoint_interval == 0
+            ):
+                from ..runtime.checkpoint import save_checkpoint
+
+                while in_flight:  # sync host state with the saved device state
+                    drain_one()
+                save_checkpoint(
+                    self.checkpoint_path,
+                    state,
+                    frame_id,
+                    {m.name: m.host_state() for m in self.pipeline.modules},
+                )
 
         while in_flight:
             drain_one()

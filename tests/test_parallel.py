@@ -119,3 +119,42 @@ def test_multiseq_system_from_config(mesh, tmp_path):
     # Carried state is batch-leading (one slot per sequence).
     prev_gray = system.final_state["modules"]["ImageOpticalFlow"]["prev_gray"]
     assert prev_gray.shape == (8, 32, 64)
+
+
+def test_multiseq_checkpoint_resume(mesh, tmp_path):
+    """MultiSeq checkpoint/resume reproduces the uninterrupted run's state."""
+    import json
+
+    from cartslam_tpu.config import read_system_config
+
+    def cfg_path(**extra):
+        cfg = {
+            "data_source": {
+                "type": "synthetic", "image_size": [32, 64], "num_frames": 6,
+            },
+            "parallel": {"mode": "multiseq", "batch": 8},
+            "modules": [
+                {"type": "disparity", "min_disparity": 0, "num_disparities": 16},
+                {"type": "optflow"},
+            ],
+        }
+        p = tmp_path / f"cfg{len(extra)}.json"
+        p.write_text(json.dumps(cfg))
+        return str(p)
+
+    ck = str(tmp_path / "ck.npz")
+    full = read_system_config(cfg_path())
+    full.run()
+    ref_state = full.final_state
+
+    first = read_system_config(cfg_path(), checkpoint_path=ck,
+                               checkpoint_interval=3, max_frames=3)
+    first.run()
+    second = read_system_config(cfg_path(x=1), resume_from=ck)
+    second.run()
+
+    import numpy as np
+    np.testing.assert_array_equal(
+        second.final_state["modules"]["ImageOpticalFlow"]["prev_gray"],
+        ref_state["modules"]["ImageOpticalFlow"]["prev_gray"],
+    )

@@ -134,3 +134,45 @@ def test_ransac_robust_to_speckle_lsq_is_not():
     # The all-points LSQ absorbs the speckle bias (offset pulled ~1 unit
     # off the surface) — the robustness gap RANSAC exists to close.
     assert surf_err(np.asarray(l_planes)[0]) > 0.5, np.asarray(l_planes)[0]
+
+
+def test_native_cluster_matches_python():
+    """The C++ region-growing core must reproduce the Python BFS exactly."""
+    from cartslam_tpu import native
+    from cartslam_tpu.models.planecluster import (
+        SuperPixelPlaneClusterModule, _adjacency_edges,
+    )
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built and no toolchain")
+
+    h, w, bs = 96, 128, 8
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    labels = ((ys // bs) * (w // bs) + (xs // bs)).astype(np.int32)
+    num_labels = int(labels.max()) + 1
+    depth = np.zeros((h, w, 3), np.float32)
+    depth[..., 0] = xs * 0.05
+    depth[..., 1] = np.where(ys < h // 2, 1.5, 0.1 * (ys - h // 2) + 1.5)
+    depth[..., 2] = 3.0 + ys * 0.05
+
+    mod = SuperPixelPlaneClusterModule(num_labels=num_labels)
+    native_out = _run_host_module(mod, labels, depth)
+
+    # Force the Python fallback by monkeying availability.
+    import cartslam_tpu.native as nat
+
+    saved = nat.available
+    nat.available = lambda: False
+    try:
+        py_out = _run_host_module(mod, labels, depth)
+    finally:
+        nat.available = saved
+
+    np.testing.assert_array_equal(native_out["assignments"], py_out["assignments"])
+    assert len(native_out["planes"]) == len(py_out["planes"])
+    np.testing.assert_allclose(
+        np.asarray(native_out["planes"], np.float64),
+        np.asarray(py_out["planes"], np.float64), rtol=1e-6, atol=1e-7,
+    )
