@@ -32,12 +32,28 @@ def _shift2d(x: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
 
 
 def _hist256(values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """int32[256] histogram of `values` in [-128, 127] where valid."""
+    """int32[256] histogram of `values` in [-128, 127] where valid.
+
+    Dense blocked one-hot reduction instead of a scatter: for 256 bins the
+    compare+sum sweep is pure VPU work (~10x cheaper than TPU scatter,
+    whose cost is per-index)."""
     v = values.astype(jnp.int32)
     in_range = valid & (v >= -128) & (v <= 127)
-    idx = jnp.where(in_range, v + 128, 0)
-    ones = in_range.astype(jnp.int32)
-    return jnp.zeros((256,), jnp.int32).at[idx.reshape(-1)].add(ones.reshape(-1))
+    idx = jnp.where(in_range, v + 128, 256)  # out-of-range -> dropped bin
+    flat = idx.reshape(-1)
+    n = flat.shape[0]
+    blk = 32768
+    nb = -(-n // blk)
+    flat = jnp.pad(flat, (0, nb * blk - n), constant_values=256)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+
+    def blk_fn(acc, lb):
+        oh = (lb[:, None] == bins[0][None, :]).astype(jnp.int32)
+        return acc + jnp.sum(oh, axis=0), None
+
+    hist, _ = jax.lax.scan(blk_fn, jnp.zeros((256,), jnp.int32),
+                           flat.reshape(nb, blk))
+    return hist
 
 
 @jax.jit

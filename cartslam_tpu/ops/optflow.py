@@ -78,7 +78,10 @@ def _search_level(cur, prev_warped, radius: int, win: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("levels", "search", "refine", "win", "base_level")
+    jax.jit,
+    static_argnames=(
+        "levels", "search", "refine", "win", "base_level", "fine_refine"
+    ),
 )
 def dense_flow(
     cur_gray: jnp.ndarray,
@@ -89,6 +92,7 @@ def dense_flow(
     refine: int = 2,
     win: int = 2,
     base_level: int = 1,
+    fine_refine: int = 1,
 ) -> jnp.ndarray:
     """Gray uint8 pair -> float32 flow [H, W, 2] (x, y), current->previous.
 
@@ -115,7 +119,15 @@ def dense_flow(
         if lvl != levels - 1:
             flow = 2.0 * jnp.repeat(jnp.repeat(flow, 2, axis=0), 2, axis=1)
             flow = flow[: c.shape[0], : c.shape[1]]
-        radius = search if lvl == levels - 1 else refine
+        # Coarsest level: full search; intermediate: refine; the finest
+        # searched level only corrects upsampling error (+-1 px suffices —
+        # EPE-gated in tests/test_quality.py).
+        if lvl == levels - 1:
+            radius = search
+        elif lvl == base_level:
+            radius = fine_refine
+        else:
+            radius = refine
         pw_img = _warp_backward(p, flow)
         dx, dy = _search_level(c, pw_img, radius, win)
         flow = flow + jnp.stack([dx, dy], axis=-1)

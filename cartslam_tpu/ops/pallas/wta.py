@@ -96,29 +96,37 @@ def _make_wta_kernel(
 
             if lr_check:
                 # Right-view WTA on the sheared plane, all VMEM-local:
-                # sheared[l, x] = s[l, x + d_true(l) + minD].
+                # sheared[l, x] = s[l, x + d_true(l) + minD].  The shear
+                # runs in int16 (values <= 4-path bound 728; fill = int16
+                # max) — half the vector registers per shift pass; the
+                # keyed reduce upcasts per-element inside the reduction.
                 amt = dt + min_disparity  # per-sublane lane shift
-                sheared = s
+                sheared = jnp.minimum(s, jnp.int32(_BIG16)).astype(jnp.int16)
+                big16 = jnp.int16(_BIG16)
                 for kbit in range(nbits):
                     k = 1 << kbit
                     sheared = jnp.where(
                         (amt & k) != 0,
-                        _shift_lanes_left(sheared, k, big),
+                        _shift_lanes_left(sheared, k, big16),
                         sheared,
                     )
-                key_r = jnp.min(sheared * d + dt, axis=0, keepdims=True)
+                key_r = jnp.min(
+                    sheared.astype(jnp.int32) * d + dt, axis=0, keepdims=True
+                )
                 best_r = key_r % d  # [1, Wv] right-view winner
 
-                ind = (jnp.abs(best_r - dt) <= 1).astype(jnp.int32)
+                ind = (jnp.abs(best_r - dt) <= 1).astype(jnp.int16)
                 for kbit in range(nbits):
                     k = 1 << kbit
                     ind = jnp.where(
                         (amt & k) != 0,
-                        _shift_lanes_right(ind, k, jnp.int32(0)),
+                        _shift_lanes_right(ind, k, jnp.int16(0)),
                         ind,
                     )
                 agree = jnp.max(
-                    jnp.where(dt == best, ind, 0), axis=0, keepdims=True
+                    jnp.where(dt == best, ind.astype(jnp.int32), 0),
+                    axis=0,
+                    keepdims=True,
                 )
                 valid = valid & (agree > 0)
 

@@ -208,15 +208,34 @@ def superpixel_vote(
     HORIZONTAL replaces the running max on strictly more votes.
     """
     flat_labels = labels.reshape(-1).astype(jnp.int32)
-    # ONE row-batched scatter: TPU scatter cost is per-index, so adding
-    # [N, 3] one-hot rows costs ~the same as one per-class scatter (3x
-    # cheaper than three separate ones).
-    onehot = (
-        pixel_planes.reshape(-1, 1) == jnp.arange(PLANE_COUNT, dtype=jnp.uint8)
-    ).astype(jnp.int32)
-    counts_lc = jnp.zeros((num_labels, PLANE_COUNT), jnp.int32).at[
-        flat_labels
-    ].add(onehot)
+    # Vote tally as a blocked one-hot MATMUL instead of a scatter: counts
+    # ride the MXU (oh^T [L, B] @ votes [B, 3]), and with 0/1 bf16 inputs
+    # accumulated in f32 the result is EXACT below 2^24.  ~3x faster than
+    # the native scatter (TPU scatter cost is per-index).
+    n = flat_labels.shape[0]
+    blk = 8192
+    nb = -(-n // blk)
+    lab_p = jnp.pad(flat_labels, (0, nb * blk - n), constant_values=num_labels)
+    votes = jnp.pad(pixel_planes.reshape(-1), (0, nb * blk - n))
+    oh_votes = (
+        votes[:, None] == jnp.arange(PLANE_COUNT, dtype=jnp.uint8)
+    ).astype(jnp.bfloat16)
+    # Padded slots map to a sentinel row that is dropped afterwards.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, num_labels + 1), 1)
+
+    def blk_fn(acc, xs):
+        lb, vb = xs
+        oh = (lb[:, None] == lane[0][None, :]).astype(jnp.bfloat16)
+        return acc + jnp.dot(
+            oh.T, vb, preferred_element_type=jnp.float32
+        ), None
+
+    acc0 = jnp.zeros((num_labels + 1, PLANE_COUNT), jnp.float32)
+    counts_lc, _ = jax.lax.scan(
+        blk_fn, acc0,
+        (lab_p.reshape(nb, blk), oh_votes.reshape(nb, blk, PLANE_COUNT)),
+    )
+    counts_lc = counts_lc[:num_labels].astype(jnp.int32)
     counts = [counts_lc[:, p] for p in range(PLANE_COUNT)]
 
     best = jnp.full((num_labels,), UNKNOWN, jnp.int32)
