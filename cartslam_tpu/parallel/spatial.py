@@ -79,6 +79,39 @@ def sharded_derivative(mesh: Mesh, axis: str = "spatial"):
     )
 
 
+def sharded_interpolate(
+    mesh: Mesh,
+    axis: str = "spatial",
+    *,
+    radius: int,
+    iterations: int,
+    min_disparity: int,
+    max_disparity: int,
+):
+    """Width-sharded disparity interpolation with per-iteration halo
+    exchange (halo = radius - 1 columns each side, the stencil's reach)."""
+    from ..ops import disparity as dsp
+
+    halo = radius - 1
+
+    def local(d_shard):
+        def body(_, d):
+            ext = exchange_width_halo(d, halo, axis) if halo else d
+            out = dsp.interpolate(
+                ext, radius=radius, iterations=1,
+                min_disparity=min_disparity, max_disparity=max_disparity,
+            )
+            return out[:, halo : out.shape[1] - halo]
+
+        return jax.lax.fori_loop(0, iterations, body, d_shard)
+
+    return jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=P(None, axis), out_specs=P(None, axis)
+        )
+    )
+
+
 def sharded_classify(mesh: Mesh, axis: str = "spatial"):
     """Width-sharded plane classification (pointwise — no halo needed)."""
 

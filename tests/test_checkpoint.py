@@ -52,3 +52,44 @@ def test_resume_reproduces_uninterrupted_run(tmp_path):
     assert sorted(resumed.keys()) == [5, 6, 7, 8]
     for fid in (5, 6, 7, 8):
         np.testing.assert_array_equal(resumed[fid]["planes"], full[fid]["planes"])
+
+
+def test_resume_with_histogram_provider(tmp_path):
+    """ADVICE r1: resume must also reproduce runs whose provider state is
+    host-side running histograms — System drains in-flight frames before
+    each save so host state matches the saved device state."""
+    ckpt = str(tmp_path / "hist.npz")
+    mods = [
+        {"type": "optflow"},
+        {"type": "disparity", "num_disparities": 32, "min_disparity": 0},
+        {
+            "type": "disparity_planeseg",
+            "parameter_provider": {"type": "histogram_peak"},
+            "update_interval": 2,  # force frequent range refreshes
+            "use_temporal_smoothing": True,
+        },
+    ]
+
+    # max_in_flight=1 makes host-param refreshes land deterministically;
+    # under deeper pipelining the refresh lag differs between the full and
+    # resumed runs (the reference has the same looseness with 12 concurrent
+    # runs mutating a shared provider, planeseg.cu:269-288).
+    full = collect(
+        build_system(SRC, mods, extra_fetch_keys=["planes"], max_in_flight=1)
+    )
+
+    sys_a = build_system(
+        SRC, mods, extra_fetch_keys=["planes"], max_frames=5,
+        checkpoint_path=ckpt, checkpoint_interval=5, max_in_flight=1,
+    )
+    collect(sys_a)
+
+    sys_b = build_system(
+        SRC, mods, extra_fetch_keys=["planes"], resume_from=ckpt,
+        max_in_flight=1,
+    )
+    resumed = collect(sys_b)
+
+    assert sorted(resumed.keys()) == [6, 7, 8]
+    for fid in (6, 7, 8):
+        np.testing.assert_array_equal(resumed[fid]["planes"], full[fid]["planes"])

@@ -158,3 +158,20 @@ def test_multiseq_checkpoint_resume(mesh, tmp_path):
         second.final_state["modules"]["ImageOpticalFlow"]["prev_gray"],
         ref_state["modules"]["ImageOpticalFlow"]["prev_gray"],
     )
+
+
+def test_sharded_interpolate_matches_unsharded(mesh):
+    from cartslam_tpu.ops import disparity as dsp
+    from cartslam_tpu.parallel.spatial import sharded_interpolate
+
+    rng = np.random.RandomState(2)
+    h, w = 24, 128
+    d = (rng.randint(4, 60, (h, w)) * 16).astype(np.int16)
+    d[rng.rand(h, w) < 0.3] = -32768
+
+    kw = dict(radius=3, iterations=2, min_disparity=16, max_disparity=w)
+    ref = dsp.interpolate(jnp.array(d), **kw)
+    f = sharded_interpolate(mesh, **kw)
+    xd = jax.device_put(jnp.array(d), NamedSharding(mesh, P(None, "spatial")))
+    out = f(xd)
+    np.testing.assert_array_equal(np.array(ref), np.array(out))
