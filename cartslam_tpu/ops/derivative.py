@@ -47,13 +47,15 @@ def _hist256(values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     flat = jnp.pad(flat, (0, nb * blk - n), constant_values=256)
     bins = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
 
-    def blk_fn(acc, lb):
+    def blk_fn(lb):
         oh = (lb[:, None] == bins[0][None, :]).astype(jnp.int32)
-        return acc + jnp.sum(oh, axis=0), None
+        return jnp.sum(oh, axis=0)
 
-    hist, _ = jax.lax.scan(blk_fn, jnp.zeros((256,), jnp.int32),
-                           flat.reshape(nb, blk))
-    return hist
+    # lax.map (no carry) rather than a scan: a zero-initialized scan carry
+    # is unvarying and trips shard_map's varying-manual-axes check when
+    # this runs inside a sharded region (parallel/spatial.py).
+    per_blk = jax.lax.map(blk_fn, flat.reshape(nb, blk))
+    return jnp.sum(per_blk, axis=0)
 
 
 @jax.jit
