@@ -96,7 +96,13 @@ def _build_module(cfg: dict, st: ConfigState):
     if mtype == "depth":
         return models.DepthModule()
     if mtype == "optflow":
-        return models.ImageOpticalFlowModule(st.image_size)
+        return models.ImageOpticalFlowModule(
+            st.image_size,
+            levels=g("levels", 4),
+            search=g("search", 4),
+            refine=g("refine", 2),
+            base_level=g("base_level", 1),
+        )
     if mtype == "superpixels":
         direct = g("direct_clique_cost", 0.5)
         m = models.SuperPixelModule(

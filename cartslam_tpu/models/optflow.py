@@ -29,12 +29,14 @@ class ImageOpticalFlowModule(Module):
         search: int = 4,
         refine: int = 2,
         base_level: int = 1,
+        fine_refine: int = 1,
     ):
         self.image_size = image_size
         self.levels = levels
         self.search = search
         self.refine = refine
         self.base_level = base_level
+        self.fine_refine = fine_refine
 
     def provides(self):
         return [KEY_OPTFLOW]
@@ -57,6 +59,7 @@ class ImageOpticalFlowModule(Module):
             search=self.search,
             refine=self.refine,
             base_level=self.base_level,
+            fine_refine=self.fine_refine,
         )
         out = fops.to_s10_5(flow)
         out = jnp.where(step.frame_id > 1, out, jnp.zeros_like(out))

@@ -74,6 +74,11 @@ def temporal_vote(
 ) -> jnp.ndarray:
     """Majority vote of current plane labels with warped previous labels.
 
+    The reference-faithful formulation (every flow sampled at the original
+    pixel, K separate warp gathers) — retained for A/B comparison; the
+    production modules use `temporal_vote_warped` (one carried-accumulator
+    gather per frame, chained sampling).
+
     current: uint8 [H, W]; prev_planes: uint8 [K, H, W] (k-th previous
     frame's unsmoothed planes); flow_stack per `_warp_coords`; num_prev:
     traced scalar number of valid history entries.
