@@ -41,10 +41,10 @@ MAX_IN_FLIGHT = 4
 def main():
     import jax
 
-    from __graft_entry__ import _flagship_pipeline
+    from __graft_entry__ import _flagship_pipeline  # also enables compile cache
     from cartslam_tpu.sources.synthetic import SyntheticDataSource
 
-    frames_n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    frames_n = int(sys.argv[1]) if len(sys.argv) > 1 else 60
     pipeline = _flagship_pipeline(H, W, num_disparities=NUM_DISPARITIES, temporal=True)
 
     fetch = frozenset({"planes"})
