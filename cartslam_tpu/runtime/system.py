@@ -80,6 +80,7 @@ class System:
         module_timing: bool = False,
         data_timeout: float = 20.0,
         snapshot_interval: int = 64,
+        run_retention: int = 32,
     ):
         self.source = source
         self.pipeline = pipeline
@@ -97,6 +98,12 @@ class System:
         self.snapshot_interval = snapshot_interval
         self.global_data: dict[str, Any] = {}
         self.failed_frames: list[int] = []
+        # Reference: ring of the last CARTSLAM_RUN_RETENTION=32 runs,
+        # reachable by id (include/cartslam.hpp:3, System::getRunById).
+        self.run_retention = run_retention
+        self._retained: collections.OrderedDict[int, dict] = (
+            collections.OrderedDict()
+        )
 
         self._fetch_keys = frozenset(
             set(pipeline.host_fetch_keys())
@@ -120,6 +127,21 @@ class System:
 
     def get_global_data(self, key: str) -> Any:
         return self.global_data[key]
+
+    def get_run_by_id(self, frame_id: int) -> Mapping[str, np.ndarray]:
+        """Fetched outputs of a retained run (System::getRunById parity).
+
+        Raises KeyError for ids outside the retention window, like the
+        reference throws for too-old/too-new ids (src/cartslam.cpp:210-222).
+        """
+        return self._retained[frame_id]
+
+    def _retain(self, frame_id: int, fetched) -> None:
+        if not self.run_retention:
+            return
+        self._retained[frame_id] = fetched
+        while len(self._retained) > self.run_retention:
+            self._retained.popitem(last=False)
 
     # -------------------------------------------------------------- prefetch
 
@@ -218,6 +240,7 @@ class System:
                 self.failed_frames.append(fid)
                 return False
             self.timing.end_timing(handle)
+            self._retain(fid, fetched)
             try:
                 self._host_post_frame(fid, frame_np, fetched, host_params)
             except Exception:

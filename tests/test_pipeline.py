@@ -108,3 +108,23 @@ def test_cycle_detection():
 
     with pytest.raises(PipelineError):
         Pipeline(ctx(), [X(), Y()])
+
+
+def test_run_retention_window():
+    """System keeps the last `run_retention` runs reachable by id
+    (System::getRunById / CARTSLAM_RUN_RETENTION parity)."""
+    import pytest
+
+    from cartslam_tpu.config import build_system
+
+    system = build_system(
+        {"type": "synthetic", "image_size": [32, 64], "num_frames": 6},
+        [{"type": "disparity", "num_disparities": 16, "min_disparity": 0}],
+        extra_fetch_keys=["disparity"],
+        run_retention=4,
+    )
+    system.run()
+    assert system.get_run_by_id(6)["disparity"].shape == (32, 64)
+    assert system.get_run_by_id(3)["disparity"].shape == (32, 64)
+    with pytest.raises(KeyError):
+        system.get_run_by_id(1)  # evicted: outside the retention window
