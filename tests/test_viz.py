@@ -5,6 +5,7 @@ The reference's de-facto test suite is its visualization windows (SURVEY
 real pipeline run's fetched outputs.
 """
 
+import os
 import numpy as np
 import pytest
 
@@ -105,3 +106,30 @@ def test_module_timing_rows(tmp_path):
     assert {"ImageDisparity", "ImageDisparityDerivative", "frame", "system"} <= names
     for r in rows:
         assert float(r[2]) <= float(r[3]) <= float(r[4])
+
+
+def test_ui_sinks(tmp_path):
+    """Drop-late-frame store + PNG sampler + video recorder contracts
+    (reference: ImageThread/ImageProvider, src/utils/ui.cpp:73-156)."""
+    from cartslam_tpu.viz.ui import ImageStore, SampleSink, VideoSink
+
+    store = ImageStore()
+    a = np.zeros((8, 8, 3), np.uint8)
+    b = np.full((8, 8, 3), 9, np.uint8)
+    store.set_image_if_later("win", a, 5)
+    store.set_image_if_later("win", b, 3)  # late frame: dropped
+    fid, img = store.snapshot()["win"]
+    assert fid == 5 and (img == a).all()
+
+    s = SampleSink(directory=str(tmp_path / "samples"), interval=2)
+    for i in (1, 2, 3, 4):
+        s.set_image_if_later("plane seg", b, i)
+    written = sorted(os.listdir(tmp_path / "samples"))
+    assert written == ["plane_seg-000002.png", "plane_seg-000004.png"]
+
+    v = VideoSink(directory=str(tmp_path / "rec"), fps=5)
+    for i in (1, 2, 3):
+        v.set_image_if_later("w", b, i)
+    v.close()
+    rec = os.listdir(tmp_path / "rec")
+    assert len(rec) == 1 and rec[0].endswith((".avi", ".mp4"))
