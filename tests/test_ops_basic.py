@@ -1,6 +1,7 @@
 """Golden tests for color, derivative, depth, interpolation, histogram ops."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from cartslam_tpu.ops import color, depth, derivative, disparity as dops, planeseg
@@ -114,3 +115,21 @@ def test_classify_horizontal_priority():
     d = np.array([[3]], np.int16)
     out = np.array(planeseg.classify(jnp.array(d), jnp.array(ranges)))
     assert out[0, 0] == 0
+
+
+def test_color_conversions_match_opencv():
+    """bgr_to_gray / bgr_to_ycrcb vs cv2's converters (the reference feeds
+    cv::cvtColor output into SGM and the relaxation)."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (32, 48, 3), dtype=np.uint8)
+
+    from cartslam_tpu.ops import color
+
+    gray = np.asarray(color.bgr_to_gray(jnp.asarray(img)))
+    ref_gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+    assert np.abs(gray.astype(int) - ref_gray.astype(int)).max() <= 1
+
+    ycc = np.asarray(color.bgr_to_ycrcb(jnp.asarray(img)))
+    ref_ycc = cv2.cvtColor(img, cv2.COLOR_BGR2YCrCb)
+    assert np.abs(ycc.astype(int) - ref_ycc.astype(int)).max() <= 1
