@@ -105,7 +105,10 @@ def main():
         for i in range(2, args.frames + 2):
             run_one(i, True)
 
-    print(f"\n== per-module device time (ms), {args.frames} frames ==")
+    print(f"\n== per-module time (ms), {args.frames} frames ==")
+    print("   NOTE: each row carries the host<->device sync round trip")
+    print("   (~27 ms over the dev tunnel; microseconds on a PCIe host).")
+    print("   Device-true attribution: scripts/device_time.py --top N.")
     total = 0.0
     for name, vals in sorted(per_module.items(), key=lambda kv: -np.mean(kv[1])):
         m = float(np.mean(vals))
