@@ -112,20 +112,83 @@ def _compact_cost(n, s, ss):
 _COST_FN = {"gaussian": _gaussian_cost, "compactness": _compact_cost}
 
 
-def init_stats(labels: jnp.ndarray, data: jnp.ndarray, num_labels: int):
+def init_stats(labels: jnp.ndarray, data: jnp.ndarray, num_labels: int,
+               use_matmul: bool | None = None):
     """Channel-major stat table [1 + 2C, L]: count | sums | sum-squares.
 
-    data: [C, H, W] float32 channel-major feature planes.
+    data: [C, H, W] float32 channel-major feature planes (integer-valued:
+    image channels, derivatives, pixel coordinates).
+
+    On TPU the per-label reduction runs as a blocked one-hot MATMUL on the
+    MXU instead of a scatter (TPU scatter cost is per-index, ~4 ms/frame
+    at KITTI geometry): every value is decomposed into bf16-exact byte
+    planes, so the f32-accumulated products are exact integers up to the
+    same 2^24-per-label bound the f32 scatter has.  Requires |values| <=
+    32767 (int16-range features, true of every reference feature).
     """
     c = data.shape[0]
     flat = labels.reshape(-1)
     d = data.reshape(c, -1)
-    rows = jnp.concatenate([jnp.ones_like(d[:1]), d, d * d], axis=0)
-    return (
-        jnp.zeros((1 + 2 * c, num_labels), jnp.float32)
-        .at[:, flat]
-        .add(rows)
-    )
+    if use_matmul is None:
+        use_matmul = jax.default_backend() == "tpu"
+    if not use_matmul:
+        rows = jnp.concatenate([jnp.ones_like(d[:1]), d, d * d], axis=0)
+        return (
+            jnp.zeros((1 + 2 * c, num_labels), jnp.float32)
+            .at[:, flat]
+            .add(rows)
+        )
+
+    # Byte-plane decomposition: v' = v + 32768 in [0, 2^17) -> 3 bytes;
+    # v^2 < 2^30 -> 4 bytes.  All planes are 0..255 = exact in bf16.
+    vi = d.astype(jnp.int32) + 32768
+    sq = (vi - 32768) * (vi - 32768)
+    cols = [jnp.ones((1, d.shape[1]), jnp.int32)]  # count
+    scales: list[tuple[int, float]] = [(0, 1.0)]  # (col index, weight) per out
+    sum_plan = []  # (channel, [(col, scale)...])
+    for ch in range(c):
+        plan = []
+        for b in range(3):
+            cols.append((vi[ch] >> (8 * b)) & 255)
+            plan.append((len(cols) - 1, float(256 ** b)))
+        sum_plan.append(plan)
+    sq_plan = []
+    for ch in range(c):
+        plan = []
+        for b in range(4):
+            cols.append((sq[ch] >> (8 * b)) & 255)
+            plan.append((len(cols) - 1, float(256 ** b)))
+        sq_plan.append(plan)
+    rhs = jnp.stack([x.reshape(-1) for x in cols], axis=-1).astype(jnp.bfloat16)
+
+    n = flat.shape[0]
+    blk = 8192
+    nb = -(-n // blk)
+    lab_p = jnp.pad(flat, (0, nb * blk - n), constant_values=num_labels)
+    rhs = jnp.pad(rhs, ((0, nb * blk - n), (0, 0)))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, num_labels + 1), 1)
+
+    def blk_fn(lb_vb):
+        lb, vb = lb_vb
+        oh = (lb[:, None] == lane[0][None, :]).astype(jnp.bfloat16)
+        return jnp.dot(oh.T, vb, preferred_element_type=jnp.float32)
+
+    acc = jnp.sum(
+        jax.lax.map(
+            blk_fn,
+            (lab_p.reshape(nb, blk), rhs.reshape(nb, blk, rhs.shape[-1])),
+        ),
+        axis=0,
+    )[:num_labels]  # [L, ncols]
+
+    count = acc[:, 0]
+    out = [count]
+    for ch in range(c):
+        s = sum(acc[:, col] * w for col, w in sum_plan[ch]) - 32768.0 * count
+        out.append(s)
+    for ch in range(c):
+        out.append(sum(acc[:, col] * w for col, w in sq_plan[ch]))
+    return jnp.stack(out, axis=0)
 
 
 def relax(

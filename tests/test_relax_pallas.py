@@ -56,3 +56,19 @@ def test_relax_pallas_non_multiple_height():
     ref = np.asarray(spops.relax(labels, backend="xla", **kw))
     out = np.asarray(spops.relax(labels, backend="pallas_interpret", **kw))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_init_stats_matmul_matches_scatter():
+    """The MXU byte-decomposed tally must equal the scatter exactly for
+    realistic label sizes (both are exact integer accumulations)."""
+    labels, data, specs, num_labels = _setup(h=32, w=48, block=6, seed=4)
+    dat = jnp.concatenate(
+        [jnp.moveaxis(d, -1, 0) for d in data]
+        + [jnp.zeros((2, 32, 48), jnp.float32)],  # coord-like channels
+        axis=0,
+    )
+    # include negative int16-range values
+    dat = dat.at[0].set(dat[0] - 120.0)
+    a = np.asarray(spops.init_stats(labels, dat, num_labels, use_matmul=False))
+    b = np.asarray(spops.init_stats(labels, dat, num_labels, use_matmul=True))
+    np.testing.assert_array_equal(a, b)
