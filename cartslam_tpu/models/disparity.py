@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..ops import color, stereo
 from ..ops import disparity as dops
-from ..runtime.module import Dependency, Module, PipelineContext
+from ..runtime.module import Module, PipelineContext
 
 KEY_DISPARITY = "disparity"
 DISPARITY_INVALID = -32768

@@ -14,7 +14,7 @@ explicit state pytree maintained by the Pipeline.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Hashable, Mapping
+from typing import Any, Hashable, Mapping
 
 import jax
 import numpy as np

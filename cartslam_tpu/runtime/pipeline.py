@@ -10,13 +10,13 @@ src/cartslam.cpp:74-90.
 from __future__ import annotations
 
 import functools
-from typing import Hashable, Mapping
+from typing import Hashable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .module import Dependency, Module, PipelineContext, StepContext
+from .module import Module, PipelineContext, StepContext
 
 
 class PipelineError(RuntimeError):

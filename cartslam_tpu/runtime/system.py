@@ -28,7 +28,7 @@ from typing import Any, Callable, Iterable, Mapping
 import jax
 import numpy as np
 
-from .module import HostModule, PipelineContext
+from .module import HostModule
 from .pipeline import Pipeline
 from .timing import TimingWriter
 
