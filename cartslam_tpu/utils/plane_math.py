@@ -159,7 +159,17 @@ def ransac_label_planes(
     kmax = jnp.maximum(jnp.minimum(counts, sample_k), 1)
 
     def one_hypothesis(hkey):
-        sel = jax.random.randint(hkey, (num_labels, 3), 0, 1 << 30) % kmax[:, None]
+        # Three DISTINCT sample indices per label via the shifted-rank trick
+        # (uniform without replacement), mirroring the reference's
+        # RandomSampler unique-index contract (src/utils/random.cpp:4-23).
+        r = jax.random.randint(hkey, (num_labels, 3), 0, 1 << 30)
+        a = r[:, 0] % kmax
+        b = r[:, 1] % jnp.maximum(kmax - 1, 1)
+        b = b + (b >= a)
+        c = r[:, 2] % jnp.maximum(kmax - 2, 1)
+        c = c + (c >= jnp.minimum(a, b))
+        c = c + (c >= jnp.maximum(a, b))
+        sel = jnp.stack([a, b, c], axis=-1) % kmax[:, None]
         pts = jnp.take_along_axis(table, sel[..., None], axis=1)  # [L, 3, 3]
         plane = _plane_from_3pts(pts[:, 0], pts[:, 1], pts[:, 2])  # [L, 4]
         dist = jnp.abs(
@@ -167,7 +177,12 @@ def ransac_label_planes(
         )
         slot = jnp.arange(sample_k)[None, :] < counts[:, None]
         score = jnp.sum((dist < threshold) & slot, axis=1)
-        return plane, score
+        # A degenerate (collinear/duplicate-sample) hypothesis is the zero
+        # plane whose distance is 0 everywhere — it would beat every real
+        # plane in argmax.  The reference skips zero-norm models outright
+        # (plane.cpp:140-142); mask them out of the selection.
+        nondeg = jnp.linalg.norm(plane[:, :3], axis=-1) > 1e-12
+        return plane, jnp.where(nondeg, score, -1)
 
     keys = jax.random.split(jax.random.PRNGKey(seed), hypotheses)
     planes_h, scores_h = jax.vmap(one_hypothesis)(keys)  # [H, L, 4], [H, L]

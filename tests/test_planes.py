@@ -130,10 +130,41 @@ def test_ransac_robust_to_speckle_lsq_is_not():
     )
     l_planes, _ = plane_math.fit_label_planes(labels, jnp.asarray(pts), valid, 1)
 
+    # A zero plane has surf_err 0 — make sure RANSAC returned a real one
+    # (regression: degenerate zero-norm hypotheses used to win argmax).
+    assert np.linalg.norm(np.asarray(r_planes)[0, :3]) > 0.5
     assert surf_err(np.asarray(r_planes)[0]) < 0.05, np.asarray(r_planes)[0]
     # The all-points LSQ absorbs the speckle bias (offset pulled ~1 unit
     # off the surface) — the robustness gap RANSAC exists to close.
     assert surf_err(np.asarray(l_planes)[0]) > 0.5, np.asarray(l_planes)[0]
+
+
+def test_ransac_small_labels_get_planes():
+    """Regression (ADVICE r2, high): labels with few points (kmax≈3) used to
+    sample duplicate triples, whose zero-plane hypotheses scored max inliers
+    and won argmax, silently discarding the label.  With distinct-index
+    sampling + degenerate-score masking, every well-posed small label must
+    still get a non-zero plane."""
+    import jax.numpy as jnp
+    from cartslam_tpu.utils import plane_math
+
+    h, w, bs = 32, 64, 4  # 4x4 superpixels -> 16 pts/label, kmax small
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    labels = ((ys.astype(np.int32) // bs) * (w // bs)
+              + (xs.astype(np.int32) // bs))
+    num_labels = int(labels.max()) + 1
+    z = 0.02 * xs + 0.01 * ys + 5.0
+    pts = jnp.asarray(np.stack([xs, ys, z], axis=-1))
+    # Keep only 4 valid points per label so kmax is tiny.
+    valid = jnp.asarray((ys % bs < 2) & (xs % bs < 2))
+    planes, counts = plane_math.ransac_label_planes(
+        jnp.asarray(labels), pts, valid, num_labels,
+        threshold=0.05, hypotheses=16,
+    )
+    norms = np.linalg.norm(np.asarray(planes)[:, :3], axis=-1)
+    frac_fitted = float((norms > 0.5).mean())
+    assert frac_fitted > 0.9, frac_fitted
 
 
 def test_native_cluster_matches_python():
