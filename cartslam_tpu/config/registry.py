@@ -127,6 +127,10 @@ def _build_module(cfg: dict, st: ConfigState):
             reset_interval=g("reset_interval", 10),
             use_temporal_smoothing=g("use_temporal_smoothing", False),
             temporal_smoothing_distance=g("temporal_smoothing_distance", 3),
+            temporal_mode=g("temporal_mode", "carried"),
+            warp_mode=g("warp_mode", "select"),
+            max_warp_y=g("max_warp_y", 32),
+            max_warp_x=g("max_warp_x", 64),
         )
     if mtype == "superpixel_disparity_planeseg":
         return models.SuperPixelDisparityPlaneSegmentationModule(
@@ -136,6 +140,10 @@ def _build_module(cfg: dict, st: ConfigState):
             reset_interval=g("reset_interval", 10),
             use_temporal_smoothing=g("use_temporal_smoothing", False),
             temporal_smoothing_distance=g("temporal_smoothing_distance", 3),
+            temporal_mode=g("temporal_mode", "carried"),
+            warp_mode=g("warp_mode", "select"),
+            max_warp_y=g("max_warp_y", 32),
+            max_warp_x=g("max_warp_x", 64),
         )
 
     # Visualization modules are host-side.

@@ -44,12 +44,23 @@ class DisparityPlaneSegmentationModule(Module):
         reset_interval: int = 10,
         use_temporal_smoothing: bool = False,
         temporal_smoothing_distance: int = 3,
+        temporal_mode: str = "carried",
+        warp_mode: str = "select",
+        max_warp_y: int = 32,
+        max_warp_x: int = 64,
     ):
         self.provider = provider
         self.update_interval = update_interval
         self.reset_interval = reset_interval
         self.temporal = use_temporal_smoothing
         self.distance = temporal_smoothing_distance
+        # 'carried': one warp/frame via the carried accumulator (TPU-first);
+        # 'faithful': the reference's K separate original-pixel warp gathers
+        # (planeseg.cu:210-227) — config-reachable for A/B comparison.
+        self.temporal_mode = temporal_mode
+        self.warp_mode = warp_mode
+        self.max_warp_y = max_warp_y
+        self.max_warp_x = max_warp_x
         self._running = np.zeros(256, np.int64)
 
     def provides(self):
@@ -61,16 +72,24 @@ class DisparityPlaneSegmentationModule(Module):
     def requires(self):
         deps = [Dependency(KEY_DISPARITY)]
         if self.temporal:
-            # The carried warp accumulator (ops/planeseg.py:
-            # temporal_vote_warped) replaces the @-2..@-distance history
-            # reads — only the immediately previous unsmoothed planes and
-            # the current flow are consumed each frame.
             deps.append(Dependency(KEY_OPTFLOW))
-            deps.append(Dependency(KEY_PLANES_UNSMOOTHED, offset=-1))
+            if self.temporal_mode == "faithful":
+                # The reference's dependency set: unsmoothed planes @-1..-K
+                # and flow @-1..-(K-1) (include/modules/planeseg.hpp:127-137).
+                for i in range(1, self.distance):
+                    deps.append(Dependency(KEY_OPTFLOW, offset=-i))
+                for i in range(1, self.distance + 1):
+                    deps.append(Dependency(KEY_PLANES_UNSMOOTHED, offset=-i))
+            else:
+                # The carried warp accumulator (ops/planeseg.py:
+                # temporal_vote_warped) replaces the deep history reads —
+                # only the immediately previous unsmoothed planes and the
+                # current flow are consumed each frame.
+                deps.append(Dependency(KEY_PLANES_UNSMOOTHED, offset=-1))
         return deps
 
     def init_state(self, ctx: PipelineContext):
-        if not self.temporal:
+        if not self.temporal or self.temporal_mode == "faithful":
             return {}
         return {
             "warp_votes": np.full(
@@ -144,11 +163,30 @@ class DisparityPlaneSegmentationModule(Module):
             outputs[KEY_PLANES] = planes
             return outputs, {}
 
+        if self.temporal_mode == "faithful":
+            flows = [deps[KEY_OPTFLOW]] + [
+                step.history(KEY_OPTFLOW, -i) for i in range(1, self.distance)
+            ]
+            prevs = [
+                step.history(KEY_PLANES_UNSMOOTHED, -i)
+                for i in range(1, self.distance + 1)
+            ]
+            num_prev = jnp.minimum(step.frame_id - 1, self.distance)
+            smoothed = pops.temporal_vote(
+                planes, jnp.stack(prevs), jnp.stack(flows), num_prev,
+                current_weight=1, compare_unknown=False,
+            )
+            outputs[KEY_PLANES] = smoothed
+            outputs[KEY_PLANES_UNSMOOTHED] = planes
+            return outputs, {}
+
         prev = step.history(KEY_PLANES_UNSMOOTHED, -1)
         prev = jnp.where(step.frame_id > 1, prev, np.uint8(pops.WARP_INVALID))
         smoothed, warp_votes = pops.temporal_vote_warped(
             planes, prev, state["warp_votes"], deps[KEY_OPTFLOW],
             current_weight=1, compare_unknown=False,
+            warp_mode=self.warp_mode, max_warp_y=self.max_warp_y,
+            max_warp_x=self.max_warp_x,
         )
         outputs[KEY_PLANES] = smoothed
         outputs[KEY_PLANES_UNSMOOTHED] = planes

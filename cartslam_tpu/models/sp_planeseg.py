@@ -43,6 +43,10 @@ class SuperPixelDisparityPlaneSegmentationModule(Module):
         reset_interval: int = 10,
         use_temporal_smoothing: bool = False,
         temporal_smoothing_distance: int = 3,
+        temporal_mode: str = "carried",
+        warp_mode: str = "select",
+        max_warp_y: int = 32,
+        max_warp_x: int = 64,
     ):
         self.provider = provider
         self.num_labels = num_labels
@@ -50,6 +54,13 @@ class SuperPixelDisparityPlaneSegmentationModule(Module):
         self.reset_interval = reset_interval
         self.temporal = use_temporal_smoothing
         self.distance = temporal_smoothing_distance
+        # 'carried': one warp/frame via the carried accumulator (TPU-first);
+        # 'faithful': the reference's K original-pixel warp gathers
+        # (sp_planeseg.cu:80-121) — config-reachable for A/B comparison.
+        self.temporal_mode = temporal_mode
+        self.warp_mode = warp_mode
+        self.max_warp_y = max_warp_y
+        self.max_warp_x = max_warp_x
         self._running: np.ndarray | None = None
 
     def provides(self):
@@ -66,14 +77,20 @@ class SuperPixelDisparityPlaneSegmentationModule(Module):
             Dependency(KEY_DERIVATIVE_HISTOGRAM),
         ]
         if self.temporal:
-            # Carried warp accumulator (ops/planeseg.py:temporal_vote_warped)
-            # replaces the @-2..@-distance history reads.
             deps.append(Dependency(KEY_OPTFLOW))
-            deps.append(Dependency(KEY_PLANES_UNSMOOTHED, offset=-1))
+            if self.temporal_mode == "faithful":
+                for i in range(1, self.distance):
+                    deps.append(Dependency(KEY_OPTFLOW, offset=-i))
+                for i in range(1, self.distance + 1):
+                    deps.append(Dependency(KEY_PLANES_UNSMOOTHED, offset=-i))
+            else:
+                # Carried warp accumulator (ops/planeseg.py:
+                # temporal_vote_warped) replaces the deep history reads.
+                deps.append(Dependency(KEY_PLANES_UNSMOOTHED, offset=-1))
         return deps
 
     def init_state(self, ctx: PipelineContext):
-        if not self.temporal:
+        if not self.temporal or self.temporal_mode == "faithful":
             return {}
         from ..ops import planeseg as _p
 
@@ -149,7 +166,20 @@ class SuperPixelDisparityPlaneSegmentationModule(Module):
         pixel_planes = pops.classify(vert, params["ranges"])
 
         new_state = {}
-        if self.temporal:
+        if self.temporal and self.temporal_mode == "faithful":
+            flows = [deps[KEY_OPTFLOW]] + [
+                step.history(KEY_OPTFLOW, -i) for i in range(1, self.distance)
+            ]
+            prevs = [
+                step.history(KEY_PLANES_UNSMOOTHED, -i)
+                for i in range(1, self.distance + 1)
+            ]
+            num_prev = jnp.minimum(step.frame_id - 1, self.distance)
+            voted = pops.temporal_vote(
+                pixel_planes, jnp.stack(prevs), jnp.stack(flows), num_prev,
+                current_weight=2, compare_unknown=True,
+            )
+        elif self.temporal:
             prev = step.history(KEY_PLANES_UNSMOOTHED, -1)
             prev = jnp.where(
                 step.frame_id > 1, prev, np.uint8(pops.WARP_INVALID)
@@ -157,6 +187,8 @@ class SuperPixelDisparityPlaneSegmentationModule(Module):
             voted, warp_votes = pops.temporal_vote_warped(
                 pixel_planes, prev, state["warp_votes"], deps[KEY_OPTFLOW],
                 current_weight=2, compare_unknown=True,
+                warp_mode=self.warp_mode, max_warp_y=self.max_warp_y,
+                max_warp_x=self.max_warp_x,
             )
             new_state["warp_votes"] = warp_votes
         else:

@@ -34,28 +34,22 @@ def _shift2d(x: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
 def _hist256(values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """int32[256] histogram of `values` in [-128, 127] where valid.
 
-    Dense blocked one-hot reduction instead of a scatter: for 256 bins the
-    compare+sum sweep is pure VPU work (~10x cheaper than TPU scatter,
-    whose cost is per-index)."""
+    Two-level one-hot MXU reduction: hist[b] = sum_p [hi(idx_p)==hi(b)] *
+    [lo(idx_p)==lo(b)] with 4-bit halves, i.e. ONE [16, B] @ [B, 16] matmul
+    whose (hi, lo) entry is bin hi*16+lo.  Exact: products are 0/1 in bf16
+    and the f32 accumulation is an integer < 2^24.  Replaces the blocked
+    [B, 256] dense one-hot sweep, whose per-block one-hots were
+    materialized in HBM (~1 GB/frame at KITTI geometry)."""
     v = values.astype(jnp.int32)
     in_range = valid & (v >= -128) & (v <= 127)
-    idx = jnp.where(in_range, v + 128, 256)  # out-of-range -> dropped bin
+    idx = jnp.where(in_range, v + 128, 256)  # out-of-range -> dropped
     flat = idx.reshape(-1)
-    n = flat.shape[0]
-    blk = 32768
-    nb = -(-n // blk)
-    flat = jnp.pad(flat, (0, nb * blk - n), constant_values=256)
-    bins = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
-
-    def blk_fn(lb):
-        oh = (lb[:, None] == bins[0][None, :]).astype(jnp.int32)
-        return jnp.sum(oh, axis=0)
-
-    # lax.map (no carry) rather than a scan: a zero-initialized scan carry
-    # is unvarying and trips shard_map's varying-manual-axes check when
-    # this runs inside a sharded region (parallel/spatial.py).
-    per_blk = jax.lax.map(blk_fn, flat.reshape(nb, blk))
-    return jnp.sum(per_blk, axis=0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)
+    # Dropped bin 256 has hi = 16, outside the 0..15 lanes -> all-zero row.
+    ohhi = ((flat[:, None] >> 4) == lanes).astype(jnp.bfloat16)
+    ohlo = ((flat[:, None] & 15) == lanes).astype(jnp.bfloat16)
+    m = jnp.dot(ohhi.T, ohlo, preferred_element_type=jnp.float32)
+    return m.reshape(256).astype(jnp.int32)
 
 
 @jax.jit

@@ -125,6 +125,9 @@ def temporal_vote_warped(
     flow: jnp.ndarray,
     current_weight: int,
     compare_unknown: bool,
+    warp_mode: str = "select",
+    max_warp_y: int = 32,
+    max_warp_x: int = 64,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Temporal majority vote via a carried warp accumulator.
 
@@ -153,6 +156,10 @@ def temporal_vote_warped(
             where no vote exists.  Initialize to WARP_INVALID.
         flow: int16 [H, W, 2] S10.5 current->previous flow.
         current_weight / compare_unknown: as in temporal_vote.
+        warp_mode: 'select' (default) warps via bounded dense multi-select
+            shifts (ops/warp.py) — no gather, pixels moving farther than
+            (max_warp_y, max_warp_x) get no vote; 'gather' is the unbounded
+            per-index warp.
 
     Returns (voted uint8 [H, W], new warp_state uint8 [K, H, W]).
     """
@@ -167,20 +174,28 @@ def temporal_vote_warped(
 
     fx = flow[..., 0].astype(jnp.int32) >> 5
     fy = flow[..., 1].astype(jnp.int32) >> 5
-    x0 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    y0 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs, ys = x0 - fx, y0 - fy
-    inb = (xs >= 0) & (ys >= 0) & (xs < w) & (ys < h)
-    idx = (jnp.clip(ys, 0, h - 1) * w + jnp.clip(xs, 0, w - 1)).reshape(-1)
-
-    # Two identical rows: XLA's row-batched gather path is ~1.7x faster
-    # than the single-row form for the same index set.
-    table = jnp.stack([packed.reshape(-1), packed.reshape(-1)])
-    warped = jnp.take(table, idx, axis=1)[0].reshape(h, w)
     all_invalid = 0
     for c in range(k):
         all_invalid |= WARP_INVALID << (2 * c)
-    warped = jnp.where(inb, warped, all_invalid)
+
+    if warp_mode == "select":
+        from .warp import separable_warp
+
+        warped, _ = separable_warp(
+            packed, fy, fx, max_warp_y, max_warp_x, fill=all_invalid
+        )
+    else:
+        x0 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        y0 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xs, ys = x0 - fx, y0 - fy
+        inb = (xs >= 0) & (ys >= 0) & (xs < w) & (ys < h)
+        idx = (jnp.clip(ys, 0, h - 1) * w + jnp.clip(xs, 0, w - 1)).reshape(-1)
+
+        # Two identical rows: XLA's row-batched gather path is ~1.7x faster
+        # than the single-row form for the same index set.
+        table = jnp.stack([packed.reshape(-1), packed.reshape(-1)])
+        warped = jnp.take(table, idx, axis=1)[0].reshape(h, w)
+        warped = jnp.where(inb, warped, all_invalid)
 
     new_state = jnp.stack(
         [((warped >> (2 * c)) & 3).astype(jnp.uint8) for c in range(k)], axis=0
@@ -212,35 +227,19 @@ def superpixel_vote(
     starts at UNKNOWN, VERTICAL replaces it on strictly more votes, then
     HORIZONTAL replaces the running max on strictly more votes.
     """
+    from .tally import label_tally, table_gather
+
     flat_labels = labels.reshape(-1).astype(jnp.int32)
-    # Vote tally as a blocked one-hot MATMUL instead of a scatter: counts
-    # ride the MXU (oh^T [L, B] @ votes [B, 3]), and with 0/1 bf16 inputs
-    # accumulated in f32 the result is EXACT below 2^24.  ~3x faster than
-    # the native scatter (TPU scatter cost is per-index).
-    n = flat_labels.shape[0]
-    blk = 8192
-    nb = -(-n // blk)
-    lab_p = jnp.pad(flat_labels, (0, nb * blk - n), constant_values=num_labels)
-    votes = jnp.pad(pixel_planes.reshape(-1), (0, nb * blk - n))
+    # Vote tally and winner paint both ride the MXU via the two-level
+    # one-hot decomposition (ops/tally.py) — exact integer counts, no
+    # scatter/gather (TPU scatter/gather cost is per-index).
     oh_votes = (
-        votes[:, None] == jnp.arange(PLANE_COUNT, dtype=jnp.uint8)
+        pixel_planes.reshape(-1)[:, None]
+        == jnp.arange(PLANE_COUNT, dtype=jnp.uint8)
     ).astype(jnp.bfloat16)
-    # Padded slots map to a sentinel row that is dropped afterwards.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, num_labels + 1), 1)
-
-    def blk_fn(acc, xs):
-        lb, vb = xs
-        oh = (lb[:, None] == lane[0][None, :]).astype(jnp.bfloat16)
-        return acc + jnp.dot(
-            oh.T, vb, preferred_element_type=jnp.float32
-        ), None
-
-    acc0 = jnp.zeros((num_labels + 1, PLANE_COUNT), jnp.float32)
-    counts_lc, _ = jax.lax.scan(
-        blk_fn, acc0,
-        (lab_p.reshape(nb, blk), oh_votes.reshape(nb, blk, PLANE_COUNT)),
+    counts_lc = label_tally(flat_labels, oh_votes, num_labels).astype(
+        jnp.int32
     )
-    counts_lc = counts_lc[:num_labels].astype(jnp.int32)
     counts = [counts_lc[:, p] for p in range(PLANE_COUNT)]
 
     best = jnp.full((num_labels,), UNKNOWN, jnp.int32)
@@ -251,7 +250,4 @@ def superpixel_vote(
     take_h = counts[HORIZONTAL] > best_votes
     best = jnp.where(take_h, HORIZONTAL, best)
 
-    # Paint via a 2-row table: XLA's row-batched gather path is ~1.7x
-    # faster than the single-row form.
-    table = jnp.stack([best, best])
-    return jnp.take(table, labels.astype(jnp.int32), axis=1)[0].astype(jnp.uint8)
+    return table_gather(best, labels).astype(jnp.uint8)

@@ -161,25 +161,9 @@ def init_stats(labels: jnp.ndarray, data: jnp.ndarray, num_labels: int,
         sq_plan.append(plan)
     rhs = jnp.stack([x.reshape(-1) for x in cols], axis=-1).astype(jnp.bfloat16)
 
-    n = flat.shape[0]
-    blk = 8192
-    nb = -(-n // blk)
-    lab_p = jnp.pad(flat, (0, nb * blk - n), constant_values=num_labels)
-    rhs = jnp.pad(rhs, ((0, nb * blk - n), (0, 0)))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, num_labels + 1), 1)
+    from .tally import label_tally
 
-    def blk_fn(lb_vb):
-        lb, vb = lb_vb
-        oh = (lb[:, None] == lane[0][None, :]).astype(jnp.bfloat16)
-        return jnp.dot(oh.T, vb, preferred_element_type=jnp.float32)
-
-    acc = jnp.sum(
-        jax.lax.map(
-            blk_fn,
-            (lab_p.reshape(nb, blk), rhs.reshape(nb, blk, rhs.shape[-1])),
-        ),
-        axis=0,
-    )[:num_labels]  # [L, ncols]
+    acc = label_tally(flat, rhs, num_labels)  # [L, ncols]
 
     count = acc[:, 0]
     out = [count]
