@@ -26,6 +26,17 @@ def _avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _box_sum(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    if r <= 3:
+        # Direct separable shift-adds: 4r adds beat two cumsums (TPU
+        # cumsum is a log-depth shift chain) for the small windows used
+        # here, and fuse into the surrounding SAD arithmetic.
+        rows = x
+        for k in range(1, r + 1):
+            rows = rows + _shift(x, -k, 0) + _shift(x, k, 0)
+        out = rows
+        for k in range(1, r + 1):
+            out = out + _shift(rows, 0, -k) + _shift(rows, 0, k)
+        return out
     k = 2 * r + 1
     xp = jnp.pad(x, ((r, r), (r, r)))
     c = jnp.cumsum(xp, axis=0)
@@ -44,9 +55,21 @@ def _shift(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return jax.lax.dynamic_slice(xp, (py + dy, px + dx), (h, w))
 
 
-def _warp_backward(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """Sample img at (p - flow[p]) with nearest-integer, clamped coords."""
+def _warp_backward(img: jnp.ndarray, flow: jnp.ndarray,
+                   bound: int | None = None) -> jnp.ndarray:
+    """Sample img at (p - flow[p]) with nearest-integer, clamped coords.
+
+    With a static displacement `bound` (known from the pyramid's search
+    radii), the per-index 2D gather becomes a bounded multi-select warp
+    (ops/warp.py) — pure VPU selects, no gather.
+    """
     h, w = img.shape
+    if bound is not None:
+        from .warp import select_warp_clamped
+
+        fy = jnp.round(flow[..., 1]).astype(jnp.int32)
+        fx = jnp.round(flow[..., 0]).astype(jnp.int32)
+        return select_warp_clamped(img, fy, fx, bound, bound)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - flow[..., 1]
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - flow[..., 0]
     yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, h - 1)
@@ -114,11 +137,13 @@ def dense_flow(
         prevs.append(_avg_pool2(prevs[-1]))
 
     flow = jnp.zeros((*curs[-1].shape, 2), jnp.float32)
+    bound = 0  # static bound on |flow| components at each level
     for lvl in range(levels - 1, base_level - 1, -1):
         c, p = curs[lvl], prevs[lvl]
         if lvl != levels - 1:
             flow = 2.0 * jnp.repeat(jnp.repeat(flow, 2, axis=0), 2, axis=1)
             flow = flow[: c.shape[0], : c.shape[1]]
+            bound *= 2
         # Coarsest level: full search; intermediate: refine; the finest
         # searched level only corrects upsampling error (+-1 px suffices —
         # EPE-gated in tests/test_quality.py).
@@ -128,9 +153,11 @@ def dense_flow(
             radius = fine_refine
         else:
             radius = refine
-        pw_img = _warp_backward(p, flow)
+        # At the coarsest level flow is identically zero: skip the warp.
+        pw_img = p if bound == 0 else _warp_backward(p, flow, bound=bound)
         dx, dy = _search_level(c, pw_img, radius, win)
         flow = flow + jnp.stack([dx, dy], axis=-1)
+        bound += radius
 
     for _ in range(base_level):
         flow = 2.0 * jnp.repeat(jnp.repeat(flow, 2, axis=0), 2, axis=1)

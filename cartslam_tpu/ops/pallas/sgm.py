@@ -50,7 +50,7 @@ def _recurrence(carry, cost, p1, p2):
 
 
 def _make_hsweep(h, w, d, pad, min_disparity, p1, p2, cols_per_step, backward,
-                 real_w):
+                 real_w, s_dtype=jnp.int16):
     """Horizontal pass kernel. Census inputs [Wpad, H] int32 (x offset by
     `pad`); outputs S [W, D, H] int16 and (forward only) cost [W, D, H] int8.
 
@@ -102,7 +102,7 @@ def _make_hsweep(h, w, d, pad, min_disparity, p1, p2, cols_per_step, backward,
 
             new = _recurrence(carry[...], cost, p1, p2)
             carry[...] = new
-            s_out[c] = new.astype(jnp.int16)
+            s_out[c] = new.astype(s_dtype)
             if c_out is not None:
                 c_out[c] = cost.astype(jnp.int8)
 
@@ -113,7 +113,8 @@ def _make_hsweep(h, w, d, pad, min_disparity, p1, p2, cols_per_step, backward,
     return kernel
 
 
-def _make_vsweep(h, wt, d, p1, p2, rows_per_step, backward):
+def _make_vsweep(h, wt, d, p1, p2, rows_per_step, backward,
+                 s_dtype=jnp.int16):
     """Vertical pass kernel over cost [H, D, W] int8 -> S [H, D, W].
 
     Gridded (w_tiles, h_blocks) with the H scan on the FASTEST grid axis so
@@ -134,7 +135,45 @@ def _make_vsweep(h, wt, d, p1, p2, rows_per_step, backward):
             cost = c_in[r].astype(jnp.int32)
             new = _recurrence(carry[...], cost, p1, p2)
             carry[...] = new
-            s_out[r] = new.astype(jnp.int16)
+            s_out[r] = new.astype(s_dtype)
+
+    return kernel
+
+
+def _make_btwta_kernel(
+    rps, d, wv, p1, p2, min_disparity, uniqueness, subpixel, lr_check, real_w
+):
+    """Fused bottom-up vertical sweep + WTA/uniqueness/subpixel/LR.
+
+    Grid walks the H blocks BACKWARD; per row (reverse order within the
+    block) the bt recurrence advances the [D, Wv] carry, the 4-path sum is
+    assembled from the three stored volumes plus the live carry, and the
+    full WTA pipeline (ops/pallas/wta.py::wta_lr_row) emits the disparity
+    row — the [H, D, W] bt volume never exists in HBM and the summed
+    volume is never re-read.
+    """
+    from .wta import wta_lr_row
+
+    def kernel(c_in, slr, srl, stb, out_ref, carry):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            carry[...] = jnp.zeros((d, wv), jnp.int32)
+
+        for rr in range(rps):
+            r = rps - 1 - rr  # bottom-up within the block
+            new = _recurrence(carry[...], c_in[r].astype(jnp.int32), p1, p2)
+            carry[...] = new
+            s = (
+                slr[r].astype(jnp.int32)
+                + srl[r].astype(jnp.int32)
+                + stb[r].astype(jnp.int32)
+                + new
+            )
+            out_ref[0, r] = wta_lr_row(
+                s, min_disparity, uniqueness, subpixel, lr_check, real_w
+            )
 
     return kernel
 
@@ -286,3 +325,158 @@ def sgm_aggregate_pallas(
     s_v = s_v[:h, :w, :]
     s = s_h + s_v
     return s[..., ::-1] if flip else s
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "min_disparity", "num_disparities", "p1", "p2", "uniqueness",
+        "subpixel", "lr_check", "interpret",
+    ),
+)
+def sgm_fused_pallas(
+    left_census: tuple[jnp.ndarray, jnp.ndarray],
+    right_census: tuple[jnp.ndarray, jnp.ndarray],
+    *,
+    min_disparity: int,
+    num_disparities: int,
+    p1: int = 10,
+    p2: int = 120,
+    uniqueness: int = 12,
+    subpixel: bool = True,
+    lr_check: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Census pair -> int16 x16 disparity, minimal-HBM-traffic schedule.
+
+    vs the split path (sgm_aggregate_pallas + sgm_wta_lr_pallas), this
+    version (a) stores the three kept path volumes at uint8 (the libSGM
+    normalization bounds each value by C_max + P2 <= 255 for p2 <= 193),
+    (b) never materializes the bottom-up volume or the 4-path sum — the
+    final kernel fuses the bt recurrence with the WTA/LR pipeline and
+    emits disparity rows directly.  Bit-identical to the XLA path in
+    ops/stereo.py (tested in interpret mode).
+    """
+    d = num_disparities
+    h, w = left_census[0].shape
+    cps = 8
+    wb = _round_up(w, cps)
+    pad = min_disparity + d - 1 + 8
+    vol_dtype = jnp.uint8 if _COST_INVALID + p2 <= 255 else jnp.int16
+
+    def prep(a):
+        at = jnp.transpose(a, (1, 0))  # [W, H]
+        return jnp.pad(at, ((pad, wb - w + 8), (0, 0)))
+
+    cl0, cl1 = prep(left_census[0]), prep(left_census[1])
+    cr0, cr1 = prep(right_census[0]), prep(right_census[1])
+
+    census_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    nblocks = wb // cps
+
+    fwd = pl.pallas_call(
+        _make_hsweep(h, wb, d, pad, min_disparity, p1, p2, cps,
+                     backward=False, real_w=w, s_dtype=vol_dtype),
+        grid=(nblocks,),
+        in_specs=[census_spec] * 4,
+        out_specs=[
+            pl.BlockSpec((cps, d, h), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cps, d, h), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((wb, d, h), vol_dtype),
+            jax.ShapeDtypeStruct((wb, d, h), jnp.int8),
+        ],
+        scratch_shapes=[pltpu.VMEM((d, h), jnp.int32)],
+        interpret=interpret,
+    )
+    s_lr, cost_wdh = fwd(cl0, cl1, cr0, cr1)
+
+    bwd = pl.pallas_call(
+        _make_hsweep(h, wb, d, pad, min_disparity, p1, p2, cps,
+                     backward=True, real_w=w, s_dtype=vol_dtype),
+        grid=(nblocks,),
+        in_specs=[census_spec] * 4,
+        out_specs=pl.BlockSpec(
+            (cps, d, h), lambda i: (nblocks - 1 - i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((wb, d, h), vol_dtype),
+        scratch_shapes=[pltpu.VMEM((d, h), jnp.int32)],
+        interpret=interpret,
+    )
+    s_rl = bwd(cl0, cl1, cr0, cr1)
+
+    # One [W, D, H] -> [H, D, W] transpose each (int8/uint8 — half or a
+    # quarter of the int16 split path's transpose traffic), padded to
+    # lane-aligned Wv and row-block-aligned Hb.
+    rps = 8
+    hb = _round_up(h, rps)
+    wv = _round_up(wb, 128)
+    wt = wv
+    while wt * d * (rps * 3 + 4) > 6 * 1024 * 1024 and wt % 2 == 0 and wt > 128:
+        wt //= 2
+    if wt % 128 != 0:
+        wt = _round_up(wt, 128)
+    wv = _round_up(wv, wt)
+    wtiles = wv // wt
+
+    def to_hdw(vol):
+        t = jnp.transpose(vol, (2, 1, 0))  # [H, D, Wb]
+        return jnp.pad(t, ((0, hb - h), (0, 0), (0, wv - wb)))
+
+    cost_hdw = to_hdw(cost_wdh)
+    slr_hdw = to_hdw(s_lr)
+    srl_hdw = to_hdw(s_rl)
+    vblocks = hb // rps
+
+    tb = pl.pallas_call(
+        _make_vsweep(hb, wt, d, p1, p2, rps, backward=False,
+                     s_dtype=vol_dtype),
+        grid=(wtiles, vblocks),
+        in_specs=[
+            pl.BlockSpec(
+                (rps, d, wt), lambda j, i: (i, 0, j), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (rps, d, wt), lambda j, i: (i, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((hb, d, wv), vol_dtype),
+        scratch_shapes=[pltpu.VMEM((d, wt), jnp.int32)],
+        interpret=interpret,
+    )
+    s_tb = tb(cost_hdw)
+
+    # Fused bottom-up sweep + WTA: row blocks walked backward, full-width
+    # planes (the LR shear crosses the whole row).  The WTA body keeps
+    # several [D, Wv] int32 temporaries live, so the block budget is tight:
+    # 4 double-buffered input blocks must stay under ~5 MB.
+    rps2 = 8
+    itemsize = 2 if vol_dtype == jnp.int16 else 1
+    while rps2 > 1 and 2 * rps2 * d * wv * (3 * itemsize + 1) > 5 * 1024 * 1024:
+        rps2 //= 2
+    while hb % rps2:
+        rps2 //= 2
+    nb2 = hb // rps2
+    spec2 = lambda: pl.BlockSpec(
+        (rps2, d, wv), lambda i: (nb2 - 1 - i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _make_btwta_kernel(
+            rps2, d, wv, p1, p2, min_disparity, uniqueness, subpixel,
+            lr_check, real_w=w,
+        ),
+        grid=(nb2,),
+        in_specs=[spec2(), spec2(), spec2(), spec2()],
+        out_specs=pl.BlockSpec(
+            (1, rps2, wv), lambda i: (nb2 - 1 - i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb2, rps2, wv), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((d, wv), jnp.int32)],
+        interpret=interpret,
+    )(cost_hdw, slr_hdw, srl_hdw, s_tb)
+    return out.reshape(hb, wv)[:h, :w]

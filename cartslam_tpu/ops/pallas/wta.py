@@ -48,11 +48,93 @@ def _shift_lanes_right(x, k, fill):
     return jnp.concatenate([pad, x[:, :-k]], axis=1)
 
 
+def wta_lr_row(s, min_disparity, uniqueness, subpixel, lr_check, real_w):
+    """Full WTA/uniqueness/subpixel/LR pipeline on one [D, Wv] int32 row
+    plane (reversed-d layout).  Returns the int16 x16 disparity row [Wv].
+
+    Shared by the standalone WTA kernel below and the fused bt+WTA kernel
+    in ops/pallas/sgm.py — the integer formulas reproduce stereo._wta /
+    _lr_agreement verbatim (bit-parity tested in interpret mode).
+    """
+    d, wv = s.shape
+    nbits = max((min_disparity + d - 1).bit_length(), 1)
+    # Padded columns (x >= real_w) must not win the sheared right-view
+    # WTA — force them to the shear fill, matching the XLA path's fill
+    # beyond the cropped volume.
+    xcols = jax.lax.broadcasted_iota(jnp.int32, (1, wv), 1)
+    s = jnp.where(xcols < real_w, s, jnp.int32(_BIG16))
+    didx = jax.lax.broadcasted_iota(jnp.int32, (d, wv), 0)
+    dt = d - 1 - didx  # true disparity index (reversed-d layout)
+
+    key = s * d + dt
+    min_key = jnp.min(key, axis=0, keepdims=True)  # [1, Wv]
+    best = min_key % d
+    min_s = min_key // d
+
+    near = jnp.abs(dt - best) <= 1
+    big = jnp.int32(_BIG16)
+    second = jnp.min(jnp.where(near, big, s), axis=0, keepdims=True)
+    valid = second * (100 - uniqueness) >= min_s * 100
+
+    if subpixel:
+        sm = jnp.min(
+            jnp.where(dt == best - 1, s, big), axis=0, keepdims=True
+        )
+        sp = jnp.min(
+            jnp.where(dt == best + 1, s, big), axis=0, keepdims=True
+        )
+        denom2 = jnp.maximum(sm + sp - 2 * min_s, 1)
+        delta = ((sm - sp) * 16 + denom2) // (denom2 * 2)
+        delta = jnp.where((best > 0) & (best < d - 1), delta, 0)
+    else:
+        delta = 0
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, wv), 1)
+    valid = valid & (cols >= best + min_disparity)
+
+    if lr_check:
+        # Right-view WTA on the sheared plane, all VMEM-local:
+        # sheared[l, x] = s[l, x + d_true(l) + minD].  The shear
+        # runs in int16 (values <= 4-path bound 728; fill = int16
+        # max) — half the vector registers per shift pass; the
+        # keyed reduce upcasts per-element inside the reduction.
+        amt = dt + min_disparity  # per-sublane lane shift
+        sheared = jnp.minimum(s, jnp.int32(_BIG16)).astype(jnp.int16)
+        big16 = jnp.int16(_BIG16)
+        for kbit in range(nbits):
+            k = 1 << kbit
+            sheared = jnp.where(
+                (amt & k) != 0,
+                _shift_lanes_left(sheared, k, big16),
+                sheared,
+            )
+        key_r = jnp.min(
+            sheared.astype(jnp.int32) * d + dt, axis=0, keepdims=True
+        )
+        best_r = key_r % d  # [1, Wv] right-view winner
+
+        ind = (jnp.abs(best_r - dt) <= 1).astype(jnp.int16)
+        for kbit in range(nbits):
+            k = 1 << kbit
+            ind = jnp.where(
+                (amt & k) != 0,
+                _shift_lanes_right(ind, k, jnp.int16(0)),
+                ind,
+            )
+        agree = jnp.max(
+            jnp.where(dt == best, ind.astype(jnp.int32), 0),
+            axis=0,
+            keepdims=True,
+        )
+        valid = valid & (agree > 0)
+
+    disp16 = (best + min_disparity) * 16 + delta
+    return jnp.where(valid, disp16, _INVALID).astype(jnp.int16)[0]
+
+
 def _make_wta_kernel(
     hb, d, wv, min_disparity, uniqueness, subpixel, lr_check, real_w
 ):
-    nbits = max((min_disparity + d - 1).bit_length(), 1)
-
     def kernel(sh_ref, stb_ref, sbt_ref, out_ref):
         for r in range(hb):
             s = (
@@ -60,78 +142,9 @@ def _make_wta_kernel(
                 + stb_ref[r].astype(jnp.int32)
                 + sbt_ref[r].astype(jnp.int32)
             )  # [D, Wv]
-            # Padded columns (x >= real_w) must not win the sheared
-            # right-view WTA — force them to the shear fill, matching the
-            # XLA path's fill beyond the cropped volume.
-            xcols = jax.lax.broadcasted_iota(jnp.int32, (1, wv), 1)
-            s = jnp.where(xcols < real_w, s, jnp.int32(_BIG16))
-            didx = jax.lax.broadcasted_iota(jnp.int32, (d, wv), 0)
-            dt = d - 1 - didx  # true disparity index (reversed-d layout)
-
-            key = s * d + dt
-            min_key = jnp.min(key, axis=0, keepdims=True)  # [1, Wv]
-            best = min_key % d
-            min_s = min_key // d
-
-            near = jnp.abs(dt - best) <= 1
-            big = jnp.int32(_BIG16)
-            second = jnp.min(jnp.where(near, big, s), axis=0, keepdims=True)
-            valid = second * (100 - uniqueness) >= min_s * 100
-
-            if subpixel:
-                sm = jnp.min(
-                    jnp.where(dt == best - 1, s, big), axis=0, keepdims=True
-                )
-                sp = jnp.min(
-                    jnp.where(dt == best + 1, s, big), axis=0, keepdims=True
-                )
-                denom2 = jnp.maximum(sm + sp - 2 * min_s, 1)
-                delta = ((sm - sp) * 16 + denom2) // (denom2 * 2)
-                delta = jnp.where((best > 0) & (best < d - 1), delta, 0)
-            else:
-                delta = 0
-
-            cols = jax.lax.broadcasted_iota(jnp.int32, (1, wv), 1)
-            valid = valid & (cols >= best + min_disparity)
-
-            if lr_check:
-                # Right-view WTA on the sheared plane, all VMEM-local:
-                # sheared[l, x] = s[l, x + d_true(l) + minD].  The shear
-                # runs in int16 (values <= 4-path bound 728; fill = int16
-                # max) — half the vector registers per shift pass; the
-                # keyed reduce upcasts per-element inside the reduction.
-                amt = dt + min_disparity  # per-sublane lane shift
-                sheared = jnp.minimum(s, jnp.int32(_BIG16)).astype(jnp.int16)
-                big16 = jnp.int16(_BIG16)
-                for kbit in range(nbits):
-                    k = 1 << kbit
-                    sheared = jnp.where(
-                        (amt & k) != 0,
-                        _shift_lanes_left(sheared, k, big16),
-                        sheared,
-                    )
-                key_r = jnp.min(
-                    sheared.astype(jnp.int32) * d + dt, axis=0, keepdims=True
-                )
-                best_r = key_r % d  # [1, Wv] right-view winner
-
-                ind = (jnp.abs(best_r - dt) <= 1).astype(jnp.int16)
-                for kbit in range(nbits):
-                    k = 1 << kbit
-                    ind = jnp.where(
-                        (amt & k) != 0,
-                        _shift_lanes_right(ind, k, jnp.int16(0)),
-                        ind,
-                    )
-                agree = jnp.max(
-                    jnp.where(dt == best, ind.astype(jnp.int32), 0),
-                    axis=0,
-                    keepdims=True,
-                )
-                valid = valid & (agree > 0)
-
-            disp16 = (best + min_disparity) * 16 + delta
-            out_ref[0, r] = jnp.where(valid, disp16, _INVALID).astype(jnp.int16)[0]
+            out_ref[0, r] = wta_lr_row(
+                s, min_disparity, uniqueness, subpixel, lr_check, real_w
+            )
 
     return kernel
 

@@ -317,27 +317,31 @@ def sgm_disparity(
         # rocm) takes the XLA path.
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
+    # int16 storage contract: each normalized path value is bounded by
+    # C_max + P2 and the XLA path sums 4 of them in int16, so very large
+    # P2 would overflow silently (and collide with the 32767 sentinels).
+    if p2 > 8000:
+        raise ValueError(
+            f"p2={p2} breaks the int16 aggregated-volume contract "
+            "(4 * (62 + p2) must stay below 32767); use p2 <= 8000"
+        )
+    if p1 < 0 or p2 < p1:
+        raise ValueError(f"need 0 <= p1 <= p2, got p1={p1}, p2={p2}")
+
     h, w = left_gray.shape
     cl = census_transform(left_gray)
     cr = census_transform(right_gray)
     if backend in ("pallas", "pallas_interpret") and num_paths == 4:
-        from .pallas.sgm import sgm_aggregate_pallas
-        from .pallas.wta import sgm_wta_lr_pallas
+        from .pallas.sgm import sgm_fused_pallas
 
-        # The sweeps emit the three summed volumes in their reversed-d
-        # layouts; the fused kernel runs WTA + uniqueness + subpixel + LR
-        # in one VMEM pass (bit-identical to the XLA path below).
-        interp = backend == "pallas_interpret"
-        s_hdw, s_tb, s_bt, _ = sgm_aggregate_pallas(
-            cl, cr, min_disparity=min_disparity, num_disparities=num_disparities,
-            p1=p1, p2=p2, combine="volumes", interpret=interp,
+        # Fused schedule: uint8 path volumes, bottom-up sweep fused with
+        # the WTA/LR pipeline (bit-identical to the XLA path below).
+        return sgm_fused_pallas(
+            cl, cr, min_disparity=min_disparity,
+            num_disparities=num_disparities, p1=p1, p2=p2,
+            uniqueness=uniqueness, subpixel=subpixel, lr_check=lr_check,
+            interpret=backend == "pallas_interpret",
         )
-        disp = sgm_wta_lr_pallas(
-            s_hdw, s_tb, s_bt,
-            min_disparity=min_disparity, uniqueness=uniqueness,
-            subpixel=subpixel, lr_check=lr_check, real_w=w, interpret=interp,
-        )
-        return disp[:, :w]
 
     cost = hamming_cost_volume(cl, cr, min_disparity, num_disparities)
     s = sgm_aggregate(cost, p1, p2, num_paths)  # [H, W, D]

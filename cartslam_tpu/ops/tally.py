@@ -52,6 +52,14 @@ def label_tally(
     builds.
     """
     b, c = values.shape
+    if jax.default_backend() == "tpu" and c >= 16:
+        # The Pallas kernel's Khatri-Rao repeat works on 128-lane-padded
+        # tiles, so it only pays off for wide value matrices (the moment
+        # tally, C=50); narrow tallies (vote counts, C=3) stay on the
+        # XLA path, whose per-block operands are small enough anyway.
+        from .pallas.tally import label_tally_pallas
+
+        return label_tally_pallas(labels, values, num_labels)
     # nlo must be a power of two for the bit split; >= 128 keeps lanes full.
     nlo = 128
     while nlo < 1024 and nlo * nlo < c * num_labels:

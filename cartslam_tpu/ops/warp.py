@@ -62,6 +62,24 @@ def select_gather_axis(img: jnp.ndarray, f: jnp.ndarray, r: int, axis: int,
     return jnp.where(valid, out, fill)
 
 
+def select_warp_clamped(img: jnp.ndarray, fy: jnp.ndarray, fx: jnp.ndarray,
+                        ry: int, rx: int):
+    """Backward warp with edge-clamped sampling (matches coordinate-clamp
+    gather semantics): out[y, x] = img[clip(y - fy), clip(x - fx)].
+
+    Displacements must satisfy |fy| <= ry, |fx| <= rx; the clamped
+    effective displacement provably stays within the same bounds.
+    Separable approximation as in `separable_warp`.
+    """
+    h, w = img.shape[:2]
+    ys = jax.lax.broadcasted_iota(jnp.int32, fy.shape, 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, fx.shape, 1)
+    fyc = ys - jnp.clip(ys - jnp.clip(fy, -ry, ry), 0, h - 1)
+    fxc = xs - jnp.clip(xs - jnp.clip(fx, -rx, rx), 0, w - 1)
+    csel = select_gather_axis(img, fxc, rx, axis=1, fill=0)
+    return select_gather_axis(csel, fyc, ry, axis=0, fill=0)
+
+
 def separable_warp(img: jnp.ndarray, fy: jnp.ndarray, fx: jnp.ndarray,
                    ry: int, rx: int, fill):
     """Backward 2D warp img[y - fy, x - fx] via two exact 1-axis passes.
