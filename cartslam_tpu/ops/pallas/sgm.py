@@ -50,9 +50,9 @@ def _recurrence(carry, cost, p1, p2):
 
 
 def _make_hsweep(h, w, d, pad, min_disparity, p1, p2, cols_per_step, backward,
-                 real_w, s_dtype=jnp.int16):
+                 real_w, s_dtype=jnp.int16, real_h=None):
     """Horizontal pass kernel. Census inputs [Wpad, H] int32 (x offset by
-    `pad`); outputs S [W, D, H] int16 and (forward only) cost [W, D, H] int8.
+    `pad`); outputs S [W, D, H] and (forward only) cost [W, D, H] int8.
 
     Columns x >= real_w are padding: their cost is forced to the UNIFORM
     constant _COST_INVALID so the backward pass warms up through them with a
@@ -60,8 +60,15 @@ def _make_hsweep(h, w, d, pad, min_disparity, p1, p2, cols_per_step, backward,
     const`, i.e. entering the last real column is equivalent to a zero-init
     there.  (Without this, padded-left-census-vs-real-right-census costs
     leaked into the last ~P2/P1 real columns whenever width % 8 != 0.)
+
+    When `real_h` < h, rows >= real_h are padding lanes whose cost is the
+    same uniform constant — the bottom-up consumer's warmup through them
+    is then exactly equivalent to a zero carry at the last real row, so
+    the H padding can be emitted here instead of in a separate XLA pad.
     """
     nblocks = w // cols_per_step
+    if real_h is None:
+        real_h = h
 
     def kernel(cl0, cl1, cr0, cr1, s_out, c_out, carry):
         i = pl.program_id(0)
@@ -98,6 +105,9 @@ def _make_hsweep(h, w, d, pad, min_disparity, p1, p2, cols_per_step, backward,
             # valid iff x - minD - (D-1-j) >= 0  (j = sublane index).
             j = jax.lax.broadcasted_iota(jnp.int32, (d, h), 0)
             valid = (j >= (d - 1) + min_disparity - x) & (x < real_w)
+            if real_h < h:
+                hl = jax.lax.broadcasted_iota(jnp.int32, (d, h), 1)
+                valid = valid & (hl < real_h)
             cost = jnp.where(valid, cost, _COST_INVALID).astype(jnp.int32)
 
             new = _recurrence(carry[...], cost, p1, p2)
@@ -364,54 +374,10 @@ def sgm_fused_pallas(
     pad = min_disparity + d - 1 + 8
     vol_dtype = jnp.uint8 if _COST_INVALID + p2 <= 255 else jnp.int16
 
-    def prep(a):
-        at = jnp.transpose(a, (1, 0))  # [W, H]
-        return jnp.pad(at, ((pad, wb - w + 8), (0, 0)))
-
-    cl0, cl1 = prep(left_census[0]), prep(left_census[1])
-    cr0, cr1 = prep(right_census[0]), prep(right_census[1])
-
-    census_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    nblocks = wb // cps
-
-    fwd = pl.pallas_call(
-        _make_hsweep(h, wb, d, pad, min_disparity, p1, p2, cps,
-                     backward=False, real_w=w, s_dtype=vol_dtype),
-        grid=(nblocks,),
-        in_specs=[census_spec] * 4,
-        out_specs=[
-            pl.BlockSpec((cps, d, h), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cps, d, h), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((wb, d, h), vol_dtype),
-            jax.ShapeDtypeStruct((wb, d, h), jnp.int8),
-        ],
-        scratch_shapes=[pltpu.VMEM((d, h), jnp.int32)],
-        interpret=interpret,
-    )
-    s_lr, cost_wdh = fwd(cl0, cl1, cr0, cr1)
-
-    bwd = pl.pallas_call(
-        _make_hsweep(h, wb, d, pad, min_disparity, p1, p2, cps,
-                     backward=True, real_w=w, s_dtype=vol_dtype),
-        grid=(nblocks,),
-        in_specs=[census_spec] * 4,
-        out_specs=pl.BlockSpec(
-            (cps, d, h), lambda i: (nblocks - 1 - i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((wb, d, h), vol_dtype),
-        scratch_shapes=[pltpu.VMEM((d, h), jnp.int32)],
-        interpret=interpret,
-    )
-    s_rl = bwd(cl0, cl1, cr0, cr1)
-
-    # One [W, D, H] -> [H, D, W] transpose each (int8/uint8 — half or a
-    # quarter of the int16 split path's transpose traffic), padded to
-    # lane-aligned Wv and row-block-aligned Hb.
+    # The sweep kernels emit the FINAL padded extents directly (H padded
+    # to the row-block multiple via the uniform-cost warmup trick, W via
+    # untouched — masked — columns), so the [H, D, W] volumes need one
+    # bare transpose each and no separate XLA pad passes.
     rps = 8
     hb = _round_up(h, rps)
     wv = _round_up(wb, 128)
@@ -423,9 +389,53 @@ def sgm_fused_pallas(
     wv = _round_up(wv, wt)
     wtiles = wv // wt
 
+    def prep(a):
+        at = jnp.transpose(a, (1, 0))  # [W, H]
+        return jnp.pad(at, ((pad, wb - w + 8), (0, hb - h)))
+
+    cl0, cl1 = prep(left_census[0]), prep(left_census[1])
+    cr0, cr1 = prep(right_census[0]), prep(right_census[1])
+
+    census_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    nblocks = wb // cps
+
+    fwd = pl.pallas_call(
+        _make_hsweep(hb, wb, d, pad, min_disparity, p1, p2, cps,
+                     backward=False, real_w=w, s_dtype=vol_dtype, real_h=h),
+        grid=(nblocks,),
+        in_specs=[census_spec] * 4,
+        out_specs=[
+            pl.BlockSpec((cps, d, hb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cps, d, hb), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((wv, d, hb), vol_dtype),
+            jax.ShapeDtypeStruct((wv, d, hb), jnp.int8),
+        ],
+        scratch_shapes=[pltpu.VMEM((d, hb), jnp.int32)],
+        interpret=interpret,
+    )
+    s_lr, cost_wdh = fwd(cl0, cl1, cr0, cr1)
+
+    bwd = pl.pallas_call(
+        _make_hsweep(hb, wb, d, pad, min_disparity, p1, p2, cps,
+                     backward=True, real_w=w, s_dtype=vol_dtype, real_h=h),
+        grid=(nblocks,),
+        in_specs=[census_spec] * 4,
+        out_specs=pl.BlockSpec(
+            (cps, d, hb), lambda i: (nblocks - 1 - i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((wv, d, hb), vol_dtype),
+        scratch_shapes=[pltpu.VMEM((d, hb), jnp.int32)],
+        interpret=interpret,
+    )
+    s_rl = bwd(cl0, cl1, cr0, cr1)
+
     def to_hdw(vol):
-        t = jnp.transpose(vol, (2, 1, 0))  # [H, D, Wb]
-        return jnp.pad(t, ((0, hb - h), (0, 0), (0, wv - wb)))
+        return jnp.transpose(vol, (2, 1, 0))  # [Hb, D, Wv]
 
     cost_hdw = to_hdw(cost_wdh)
     slr_hdw = to_hdw(s_lr)
