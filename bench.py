@@ -35,7 +35,7 @@ import numpy as np
 
 NUM_DISPARITIES = 256
 H, W = 376, 1248
-MAX_IN_FLIGHT = 4
+MAX_IN_FLIGHT = 8
 
 
 def main():
@@ -85,7 +85,7 @@ def main():
     # the previous one — but per-frame fetches would serialize the loop on
     # the dev tunnel's ~34 ms round trip, which a PCIe-attached production
     # host does not have.
-    PROBE = 4
+    PROBE = 8
     q: queue.Queue = queue.Queue(maxsize=MAX_IN_FLIGHT)
     done_t = []
 

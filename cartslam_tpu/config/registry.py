@@ -128,7 +128,7 @@ def _build_module(cfg: dict, st: ConfigState):
             use_temporal_smoothing=g("use_temporal_smoothing", False),
             temporal_smoothing_distance=g("temporal_smoothing_distance", 3),
             temporal_mode=g("temporal_mode", "carried"),
-            warp_mode=g("warp_mode", "select"),
+            warp_mode=g("warp_mode", "auto"),
             max_warp_y=g("max_warp_y", 32),
             max_warp_x=g("max_warp_x", 64),
         )
@@ -141,7 +141,7 @@ def _build_module(cfg: dict, st: ConfigState):
             use_temporal_smoothing=g("use_temporal_smoothing", False),
             temporal_smoothing_distance=g("temporal_smoothing_distance", 3),
             temporal_mode=g("temporal_mode", "carried"),
-            warp_mode=g("warp_mode", "select"),
+            warp_mode=g("warp_mode", "auto"),
             max_warp_y=g("max_warp_y", 32),
             max_warp_x=g("max_warp_x", 64),
         )
@@ -246,7 +246,10 @@ def build_system(
 
         from ..parallel.system import MultiSeqSystem
 
-        ms_keys = {"checkpoint_path", "checkpoint_interval", "resume_from"}
+        ms_keys = {
+            "checkpoint_path", "checkpoint_interval", "resume_from",
+            "data_timeout", "snapshot_interval",
+        }
         ms_kwargs = {k: v for k, v in system_kwargs.items() if k in ms_keys}
         dropped = {
             k: v for k, v in system_kwargs.items() if v and k not in ms_keys

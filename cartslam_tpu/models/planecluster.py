@@ -87,7 +87,10 @@ class SuperPixelPlaneClusterModule(HostModule):
     def requires(self):
         return [Dependency("superpixels"), Dependency("depth")]
 
-    def render(self, ctx, frame_id, frame, fetched, globals_):
+    def provides_data(self):
+        return [KEY_PLANES_EQ]
+
+    def process(self, ctx, frame_id, frame, fetched, globals_):
         labels = np.asarray(fetched["superpixels"])
         depth = np.asarray(fetched["depth"])
         L = self.num_labels
@@ -110,11 +113,12 @@ class SuperPixelPlaneClusterModule(HostModule):
                 yaw_pitch_thresh=0.2, d_thresh=3.0,
                 min_cluster=self.min_cluster,
             )
-            globals_[KEY_PLANES_EQ] = {
+            planes_eq = {
                 "planes": cplanes if len(cplanes) else np.zeros((0, 4)),
                 "assignments": assignments,
             }
-            return None
+            globals_[KEY_PLANES_EQ] = planes_eq
+            return {KEY_PLANES_EQ: planes_eq}
 
         # Orientation stats (planecluster.cpp:57-68).
         a, b, c, d = planes.T
@@ -166,8 +170,9 @@ class SuperPixelPlaneClusterModule(HostModule):
             for l in similar:
                 assignments[l] = len(clusters)
 
-        globals_[KEY_PLANES_EQ] = {
+        planes_eq = {
             "planes": np.array(clusters) if clusters else np.zeros((0, 4)),
             "assignments": assignments,
         }
-        return None
+        globals_[KEY_PLANES_EQ] = planes_eq
+        return {KEY_PLANES_EQ: planes_eq}

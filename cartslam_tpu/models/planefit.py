@@ -97,7 +97,10 @@ class SuperPixelPlaneFitModule(HostModule):
                     out.append(int(labels[yo, xo]))
         return out
 
-    def render(self, ctx, frame_id, frame, fetched, globals_):
+    def provides_data(self):
+        return [KEY_PLANES_EQ]
+
+    def process(self, ctx, frame_id, frame, fetched, globals_):
         labels = fetched["superpixels"]
         depth = fetched["depth"]
         L = self.num_labels
@@ -149,8 +152,12 @@ class SuperPixelPlaneFitModule(HostModule):
             assignments[accept] = len(planes)
             done += len(accept)
 
-        globals_[KEY_PLANES_EQ] = {
+        planes_eq = {
             "planes": np.array(planes) if planes else np.zeros((0, 4)),
             "assignments": assignments,
         }
-        return None
+        # Per-run data key (reference: planefit.hpp:9-16 provides planes_eq
+        # through the promise store); globals_ keeps the latest copy for
+        # consumers outside the retention window.
+        globals_[KEY_PLANES_EQ] = planes_eq
+        return {KEY_PLANES_EQ: planes_eq}

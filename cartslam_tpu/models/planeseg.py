@@ -45,7 +45,7 @@ class DisparityPlaneSegmentationModule(Module):
         use_temporal_smoothing: bool = False,
         temporal_smoothing_distance: int = 3,
         temporal_mode: str = "carried",
-        warp_mode: str = "select",
+        warp_mode: str = "auto",
         max_warp_y: int = 32,
         max_warp_x: int = 64,
     ):
@@ -119,6 +119,9 @@ class DisparityPlaneSegmentationModule(Module):
     def host_fetch_keys(self):
         return [KEY_FRAME_HIST]
 
+    def host_fetch_reduce(self):
+        return {KEY_FRAME_HIST: "sum"}  # additive histogram
+
     def host_state(self):
         p = self.provider.get()
         return {
@@ -142,6 +145,13 @@ class DisparityPlaneSegmentationModule(Module):
 
     def host_update(self, ctx, frame_id, fetched, system=None):
         self._running += fetched[KEY_FRAME_HIST].astype(np.int64)
+        if system is not None:
+            # The reference's planeseg vis plots the ACCUMULATING running
+            # histogram every frame (planeseg_vis.cu:111-211), not just the
+            # update_interval snapshots.
+            system.insert_global_data(
+                KEY_GLOBAL_HIST + "_live", self._running.copy()
+            )
         if frame_id % self.update_interval != 1:
             return None
         snapshot = self._running.copy()

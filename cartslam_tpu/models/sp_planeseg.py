@@ -44,7 +44,7 @@ class SuperPixelDisparityPlaneSegmentationModule(Module):
         use_temporal_smoothing: bool = False,
         temporal_smoothing_distance: int = 3,
         temporal_mode: str = "carried",
-        warp_mode: str = "select",
+        warp_mode: str = "auto",
         max_warp_y: int = 32,
         max_warp_x: int = 64,
     ):
@@ -117,6 +117,9 @@ class SuperPixelDisparityPlaneSegmentationModule(Module):
     def host_fetch_keys(self):
         return [KEY_DERIVATIVE_HISTOGRAM]
 
+    def host_fetch_reduce(self):
+        return {KEY_DERIVATIVE_HISTOGRAM: "sum"}  # additive histogram
+
     def host_state(self):
         p = self.provider.get()
         return {
@@ -150,6 +153,10 @@ class SuperPixelDisparityPlaneSegmentationModule(Module):
         else:
             self._running += hist
             snapshot = self._running.copy()
+        if system is not None:
+            # Per-frame accumulating histogram for the live vis window
+            # (planeseg_vis.cu:111-211 plots it every frame).
+            system.insert_global_data(KEY_GLOBAL_HIST + "_live", snapshot)
         if frame_id % (self.update_interval * self.reset_interval) == 1:
             self._running[:] = 0
         if frame_id % self.update_interval != 1:

@@ -9,20 +9,25 @@ near-camera artifacts that downstream z-range filters discard.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 
-@jax.jit
-def reproject_to_3d(disparity: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=())
+def reproject_to_3d(
+    disparity: jnp.ndarray, q: jnp.ndarray, row_offset=0
+) -> jnp.ndarray:
     """int16 x16 disparity [H,W] + Q float32 [4,4] -> XYZ float32 [H,W,3].
 
     [X Y Z W]^T = Q @ [x, y, disp, 1]^T ; output = (X/W, Y/W, Z/W).
+    row_offset: global row of the first local row (height-sharded mode).
     """
     h, w = disparity.shape
     d = disparity.astype(jnp.float32) / 16.0
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + row_offset
     ones = jnp.ones((h, w), jnp.float32)
     vec = jnp.stack([xs, ys, d, ones], axis=-1)  # [H, W, 4]
     out = jnp.einsum("ij,hwj->hwi", q.astype(jnp.float32), vec)

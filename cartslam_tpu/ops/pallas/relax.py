@@ -71,9 +71,14 @@ def _make_phase_kernel(
 
     def kernel(labp, labc, labn, stp, stc, stn, pix, out_lab, out_stat):
         i = pl.program_id(0)
-        # Assembled [hb+2, W] label window and [nstat, hb+2, W] stat window.
-        lab = jnp.concatenate([labp[-1:], labc[...], labn[:1]], axis=0)
-        st = jnp.concatenate([stp[:, -1:], stc[...], stn[:, :1]], axis=1)
+        # Assembled [hb+2, W] label window and [nstat, hb+2, W] stat window
+        # from single-row halo arrays (pre-sliced per band by the caller;
+        # the content at the true image edges is never read —
+        # lab_shift/stat_shift mask those rows).
+        lab = jnp.concatenate([labp[0], labc[...], labn[0]], axis=0)
+        st = jnp.concatenate(
+            [stp[0][:, None, :], stc[...], stn[0][:, None, :]], axis=1
+        )
 
         gr0 = i * hb  # global row of the band's first row
         rows = jax.lax.broadcasted_iota(jnp.int32, (hb, w), 0) + gr0
@@ -222,16 +227,44 @@ def relax_phase_pallas(
         pixel_rows = jnp.pad(pixel_rows, ((0, 0), (0, hp - h), (0, 0)))
     nblk = hp // hb
 
-    def clamp(idx):
-        return jnp.clip(idx, 0, nblk - 1)
+    # Single-row halos, pre-sliced per band: fetching whole neighbor bands
+    # tripled the stat-image DMA traffic per sweep, and Mosaic forbids
+    # 1-row blocks of a 2-D array, so the halos are materialized as
+    # [nblk, ., w] arrays whose trailing block dims equal the array dims.
+    # Band i's halo rows are i*hb - 1 and (i+1)*hb (edge rows unused —
+    # masked in-kernel).
+    def halo_rows(arr, axis):
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(hb - 1, hp - 1, hb)
+        prev = jnp.concatenate(
+            [jax.lax.slice_in_dim(arr, 0, 1, axis=axis),
+             arr[tuple(idx)]], axis=axis,
+        )
+        idx[axis] = slice(hb, None, hb)
+        nxt = jnp.concatenate(
+            [arr[tuple(idx)],
+             jax.lax.slice_in_dim(arr, hp - 1, hp, axis=axis)], axis=axis,
+        )
+        return prev, nxt
 
-    lab_spec = lambda off: pl.BlockSpec(
-        (hb, w), lambda i: (clamp(i + off), 0), memory_space=pltpu.VMEM
+    lab_prev, lab_next = halo_rows(labels, 0)  # [nblk, w] each
+    st_prev, st_next = halo_rows(stat_img, 1)  # [nstat, nblk, w]
+    lab_prev = lab_prev[:, None, :]  # [nblk, 1, w]
+    lab_next = lab_next[:, None, :]
+    st_prev = jnp.transpose(st_prev, (1, 0, 2))  # [nblk, nstat, w]
+    st_next = jnp.transpose(st_next, (1, 0, 2))
+
+    lab_spec = pl.BlockSpec(
+        (hb, w), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    st_spec = lambda off: pl.BlockSpec(
-        (nstat, hb, w),
-        lambda i: (0, clamp(i + off), 0),
-        memory_space=pltpu.VMEM,
+    lab_halo = pl.BlockSpec(
+        (1, 1, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    st_spec = pl.BlockSpec(
+        (nstat, hb, w), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    st_halo = pl.BlockSpec(
+        (1, nstat, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
 
     kern = _make_phase_kernel(
@@ -242,9 +275,9 @@ def relax_phase_pallas(
         kern,
         grid=(nblk,),
         in_specs=[
-            lab_spec(-1), lab_spec(0), lab_spec(1),
-            st_spec(-1), st_spec(0), st_spec(1),
-            st_spec(0),  # pixel_rows, current band only
+            lab_halo, lab_spec, lab_halo,
+            st_halo, st_spec, st_halo,
+            st_spec,  # pixel_rows, current band only
         ],
         out_specs=[
             pl.BlockSpec((hb, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -257,5 +290,5 @@ def relax_phase_pallas(
             jax.ShapeDtypeStruct((nstat, hp, w), jnp.float32),
         ],
         interpret=interpret,
-    )(labels, labels, labels, stat_img, stat_img, stat_img, pixel_rows)
+    )(lab_prev, labels, lab_next, st_prev, stat_img, st_next, pixel_rows)
     return new_labels[:h], new_stat[:, :h]

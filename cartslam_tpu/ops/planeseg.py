@@ -125,7 +125,7 @@ def temporal_vote_warped(
     flow: jnp.ndarray,
     current_weight: int,
     compare_unknown: bool,
-    warp_mode: str = "select",
+    warp_mode: str = "auto",
     max_warp_y: int = 32,
     max_warp_x: int = 64,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -156,10 +156,12 @@ def temporal_vote_warped(
             where no vote exists.  Initialize to WARP_INVALID.
         flow: int16 [H, W, 2] S10.5 current->previous flow.
         current_weight / compare_unknown: as in temporal_vote.
-        warp_mode: 'select' (default) warps via bounded dense multi-select
-            shifts (ops/warp.py) — no gather, pixels moving farther than
-            (max_warp_y, max_warp_x) get no vote; 'gather' is the unbounded
-            per-index warp.
+        warp_mode: 'select' warps via bounded dense multi-select shifts
+            (ops/warp.py) — no gather, pixels moving farther than
+            (max_warp_y, max_warp_x) get no vote; 'gather' is the
+            unbounded per-index warp.  'auto' (default) picks 'select' on
+            TPU (per-index gathers are the bottleneck there) and 'gather'
+            elsewhere (the 2r+1 shifted copies bloat CPU compile time).
 
     Returns (voted uint8 [H, W], new warp_state uint8 [K, H, W]).
     """
@@ -178,6 +180,8 @@ def temporal_vote_warped(
     for c in range(k):
         all_invalid |= WARP_INVALID << (2 * c)
 
+    if warp_mode == "auto":
+        warp_mode = "select" if jax.default_backend() == "tpu" else "gather"
     if warp_mode == "select":
         from .warp import separable_warp
 

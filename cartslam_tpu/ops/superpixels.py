@@ -128,6 +128,9 @@ def init_stats(labels: jnp.ndarray, data: jnp.ndarray, num_labels: int,
     """
     c = data.shape[0]
     flat = labels.reshape(-1)
+    # Negative (OOB halo) labels must DROP, but negative scatter indices
+    # wrap in JAX — remap them to the positive out-of-bounds sentinel.
+    flat = jnp.where(flat < 0, num_labels, flat)
     d = data.reshape(c, -1)
     if use_matmul is None:
         use_matmul = jax.default_backend() == "tpu"
@@ -186,6 +189,10 @@ def relax(
     phases: int = 1,
     stats_refresh: str = "phase",
     backend: str = "auto",
+    axis_name: str | None = None,
+    row_offset=0,
+    global_h: int | None = None,
+    halo_rows: tuple[int, int] = (0, 0),
 ) -> jnp.ndarray:
     """Run `iterations` relaxation sweeps; returns the new label image.
 
@@ -199,10 +206,19 @@ def relax(
     (the reference's incremental-atomics semantics); 'frame' keeps the
     statistics fixed for the whole call — faster, slight quality drift
     bounded by the per-frame refresh.
+
+    Height-sharded mode (parallel/spatial_flagship.py): `axis_name` set
+    makes the per-label statistics global (psum over the mesh axis),
+    `row_offset` shifts the compactness coordinates to global rows, and
+    `global_h` is the full image height.  OOB halo labels (< 0) behave
+    exactly like image edges (candidate masking); only 'frame' mode
+    supports sharding.
     """
     h, w = labels.shape
+    if axis_name is not None and stats_refresh != "frame":
+        raise NotImplementedError("sharded relax requires stats_refresh='frame'")
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + row_offset
     coords = jnp.stack([xs, ys], axis=0)  # [2, H, W]
 
     data_list, specs = [], []
@@ -247,12 +263,31 @@ def relax(
             out.append(_COST_FN[spec.kind](n, s, ss))
         return out
 
-    stats0 = init_stats(labels, data_all, num_labels)  # [nstat, L]
+    # OOB/halo labels (< 0) drop out of the tally (scatter-drop semantics /
+    # no one-hot match); under sharding the per-label moments are summed
+    # over the mesh axis so every shard sees the GLOBAL statistics.
+    # halo_rows marks rows owned by NEIGHBOR shards: they participate in
+    # the sweeps (their stats/labels are read as candidates) but are
+    # excluded from the local tally so the psum counts each pixel once.
+    tally_labels = labels
+    ht, hb_ = halo_rows
+    if ht or hb_:
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        core = (rows_i >= ht) & (rows_i < h - hb_)
+        tally_labels = jnp.where(core, labels, _OOB)
+    stats0 = init_stats(tally_labels, data_all, num_labels)  # [nstat, L]
+    if axis_name is not None:
+        stats0 = jax.lax.psum(stats0, axis_name)
 
+    gh = float(global_h) if global_h is not None else float(h)
     prog_factor = None
     for spec in specs:
         if spec.kind == "compactness" and spec.progressive > 0.0:
-            prog_factor = 1.0 + spec.progressive * (h - ys) / float(h)
+            if axis_name is not None:
+                raise NotImplementedError(
+                    "progressive compactness not supported under sharding"
+                )
+            prog_factor = 1.0 + spec.progressive * (gh - ys) / gh
 
     pixel_rows = jnp.concatenate(
         [jnp.ones((1, h, w), jnp.float32), data_all, data_all * data_all],

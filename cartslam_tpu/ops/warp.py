@@ -44,7 +44,10 @@ def select_gather_axis(img: jnp.ndarray, f: jnp.ndarray, r: int, axis: int,
     src = pos - f
     valid = (src >= 0) & (src < size) & (f >= -r) & (f <= r)
     out = jnp.full_like(img, fill)
-    for d in range(-r, r + 1):
+    # |d| >= size can never produce an in-image source — the valid mask
+    # already yields `fill` there, so those shifts are skipped (they would
+    # otherwise build over-sized pads at coarse pyramid levels).
+    for d in range(max(-r, -(size - 1)), min(r, size - 1) + 1):
         # shifted[p] = img[p - d] along axis: pad d at the front (d>0).
         if d >= 0:
             pads = [(0, 0)] * img.ndim

@@ -10,11 +10,21 @@ data-parallel axis for a perception pipeline).
 
 Host-side plane-parameter estimation aggregates the per-sequence
 histograms (summing before the provider update) — the scale-out analogue
-of the reference's single shared provider (planeseg.cu:269-288).
+of the reference's single shared provider (planeseg.cu:269-288).  Which
+keys are additive is declared per module (``Module.host_fetch_reduce``);
+undeclared keys fall back to sequence 0 with a one-time warning instead
+of being silently batch-summed.
+
+Fault tolerance matches the single-sequence System (src/main.cpp:48-54
+semantics, adapted to carried state): result fetches run under the 20 s
+data watchdog, a failed round logs-and-continues after restoring the
+last known-good state snapshot, and failed round ids are recorded in
+``failed_frames``.
 """
 
 from __future__ import annotations
 
+import concurrent.futures
 import functools
 import logging
 import traceback
@@ -26,6 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..runtime.module import HostModule
 from ..runtime.pipeline import Pipeline
+from ..runtime.system import DataNotAvailableException
 from ..runtime.timing import TimingWriter
 
 log = logging.getLogger("cart.multiseq")
@@ -40,6 +51,10 @@ class MultiSeqSystem:
         pipeline: the shared Pipeline.
         devices: devices for the 1-D mesh (default: all local devices).
             B must be divisible by the device count.
+        data_timeout: seconds before a hung result fetch raises
+            DataNotAvailableException (reference: 20 s).
+        snapshot_interval: rounds between host snapshots of the batched
+            device state used for failed-round recovery; 0 disables.
     """
 
     def __init__(
@@ -57,6 +72,8 @@ class MultiSeqSystem:
         checkpoint_path: str | None = None,
         checkpoint_interval: int = 100,
         resume_from: str | None = None,
+        data_timeout: float = 20.0,
+        snapshot_interval: int = 64,
     ):
         self.sources = list(sources)
         self.batch = len(self.sources)
@@ -69,7 +86,11 @@ class MultiSeqSystem:
         self.checkpoint_path = checkpoint_path
         self.checkpoint_interval = checkpoint_interval
         self.resume_from = resume_from
+        self.data_timeout = data_timeout
+        self.snapshot_interval = snapshot_interval
         self.global_data: dict[str, Any] = {}
+        self.failed_frames: list[int] = []
+        self._warned_keys: set[str] = set()
 
         devs = list(devices) if devices is not None else jax.devices()
         while self.batch % len(devs) != 0:
@@ -82,6 +103,9 @@ class MultiSeqSystem:
             set(pipeline.host_fetch_keys())
             | {d.key for hm in self.host_modules for d in hm.requires()}
             | set(extra_fetch_keys)
+        )
+        self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="cart-mseq-fetch"
         )
 
     def insert_global_data(self, key: str, value: Any):
@@ -110,8 +134,37 @@ class MultiSeqSystem:
             if f is None:
                 return None
             frames.append(f)
+        if self.pipeline.ctx.grayscale:
+            # Whole-pipeline grayscale switch, same conversion as
+            # System._prefetch_worker — without this, ctx.grayscale modules
+            # would trace against 1-channel shapes while frames stay BGR.
+            converted = []
+            for f in frames:
+                f = dict(f)
+                for k in ("left", "right"):
+                    img = f[k]
+                    if img.ndim == 3:
+                        y = (
+                            0.114 * img[..., 0].astype(np.float32)
+                            + 0.587 * img[..., 1]
+                            + 0.299 * img[..., 2]
+                        )
+                        f[k] = np.clip(np.round(y), 0, 255).astype(np.uint8)
+                converted.append(f)
+            frames = converted
         keys = frames[0].keys()
         return {k: np.stack([f[k] for f in frames], axis=0) for k in keys}
+
+    def _fetch_with_timeout(self, outputs) -> dict[str, np.ndarray]:
+        fut = self._fetch_pool.submit(
+            lambda: {k: np.asarray(v) for k, v in outputs.items()}
+        )
+        try:
+            return fut.result(timeout=self.data_timeout)
+        except concurrent.futures.TimeoutError:
+            raise DataNotAvailableException(
+                f"round results not available within {self.data_timeout}s"
+            ) from None
 
     def run(self, on_frame: Callable[[int, Mapping[str, np.ndarray]], None] | None = None):
         """Process until any source is exhausted; returns frames processed
@@ -140,12 +193,23 @@ class MultiSeqSystem:
         in_flight = []
         frame_id = start_frame
         processed = 0
+        snap_state = (
+            jax.device_get(state) if self.snapshot_interval else None
+        )
+        need_recovery = False
         sys_handle = self.timing.init_timing("system", 0).begin()
 
-        def drain_one():
+        def drain_one() -> bool:
             nonlocal processed
             fid, handle, outputs = in_flight.pop(0)
-            fetched = {k: np.asarray(v) for k, v in outputs.items()}
+            try:
+                fetched = self._fetch_with_timeout(outputs)
+            except Exception:
+                log.error(
+                    "round %d failed (async):\n%s", fid, traceback.format_exc()
+                )
+                self.failed_frames.append(fid)
+                return False
             self.timing.end_timing(handle)
             try:
                 self._host_post_frame(fid, fetched, host_params)
@@ -154,8 +218,29 @@ class MultiSeqSystem:
             if on_frame is not None:
                 on_frame(fid, fetched)
             processed += self.batch
+            return True
+
+        def drain_all():
+            nonlocal need_recovery
+            while in_flight:
+                if not drain_one():
+                    need_recovery = True
 
         while True:
+            if need_recovery:
+                # The dispatched chain consumed a poisoned batched state:
+                # drop queued work and restore the last good snapshot, like
+                # the single-sequence System (one bad round must not abort
+                # the fleet — src/main.cpp:48-54).
+                drain_all()
+                need_recovery = False
+                if snap_state is not None:
+                    state = jax.device_put(snap_state, self._shard)
+                    log.warning("recovered batched state from snapshot")
+                else:
+                    state = jax.device_put(init_batched, self._shard)
+                    log.warning("no snapshot; batched state re-initialized")
+
             frame_np = self._stack_frames()
             if frame_np is None:
                 break
@@ -175,50 +260,92 @@ class MultiSeqSystem:
                     state, outputs = step(state, frame_dev, host_params)
             except Exception:
                 log.error("round %d failed:\n%s", frame_id, traceback.format_exc())
-                break
+                self.failed_frames.append(frame_id)
+                need_recovery = True
+                continue
             in_flight.append((frame_id, handle, outputs))
             while len(in_flight) >= self.max_in_flight:
-                drain_one()
+                if not drain_one():
+                    need_recovery = True
+                    break
 
             if (
-                self.checkpoint_path is not None
+                not need_recovery
+                and self.snapshot_interval
+                and frame_id % self.snapshot_interval == 0
+            ):
+                drain_all()  # snapshot only a state proven good
+                if not need_recovery:
+                    snap_state = jax.device_get(state)
+
+            if (
+                not need_recovery
+                and self.checkpoint_path is not None
                 and frame_id % self.checkpoint_interval == 0
             ):
                 from ..runtime.checkpoint import save_checkpoint
 
-                while in_flight:  # sync host state with the saved device state
-                    drain_one()
-                save_checkpoint(
-                    self.checkpoint_path,
-                    state,
-                    frame_id,
-                    {m.name: m.host_state() for m in self.pipeline.modules},
-                )
+                drain_all()  # sync host state with the saved device state
+                if not need_recovery:
+                    save_checkpoint(
+                        self.checkpoint_path,
+                        state,
+                        frame_id,
+                        {m.name: m.host_state() for m in self.pipeline.modules},
+                    )
 
-        while in_flight:
-            drain_one()
+        drain_all()
         self.timing.end_timing(sys_handle)
         self.final_state = jax.device_get(state)
         return processed
 
     def _host_post_frame(self, frame_id, fetched, host_params):
-        # Aggregate per-sequence histograms (sum over the batch axis) so the
-        # shared parameter provider sees fleet-wide statistics.
+        # Aggregate host-fetched keys per each module's declared reduction:
+        # 'sum' keys (histograms) are summed over the batch so the shared
+        # parameter provider sees fleet-wide statistics; undeclared keys
+        # fall back to sequence 0 with a one-time warning (a blanket
+        # batch-sum would silently corrupt non-additive outputs).
         for m in self.pipeline.modules:
+            reduce_spec = m.host_fetch_reduce()
             sub = {}
             for k in m.host_fetch_keys():
-                if k in fetched:
-                    v = fetched[k]
-                    sub[k] = v.sum(axis=0) if v.ndim >= 1 else v
+                if k not in fetched:
+                    continue
+                v = fetched[k]
+                how = reduce_spec.get(k)
+                if how == "sum" and v.ndim >= 1:
+                    sub[k] = v.sum(axis=0)
+                else:
+                    if how is None and k not in self._warned_keys:
+                        self._warned_keys.add(k)
+                        log.warning(
+                            "multiseq: key '%s' of module %s declares no "
+                            "batch reduction; using sequence 0 only",
+                            k, m.name,
+                        )
+                    sub[k] = v[0] if v.ndim >= 1 else v
             updated = m.host_update(self.pipeline.ctx, frame_id, sub, system=self)
             if updated:
                 host_params[m.name] = {**host_params.get(m.name, {}), **updated}
 
-        # Visualization renders sequence 0.
+        # Host-computed per-run data + visualization run on sequence 0.
+        sub0 = {k: v[0] for k, v in fetched.items()}
+        for hm in self.host_modules:
+            if not hm.provides_data():
+                continue
+            try:
+                extra = hm.process(
+                    self.pipeline.ctx, frame_id, {}, sub0, self.global_data
+                )
+            except Exception:
+                log.error("host module %s process failed:\n%s", hm.name,
+                          traceback.format_exc())
+                continue
+            if extra:
+                sub0.update(extra)
         for hm in self.host_modules:
             try:
-                sub = {k: v[0] for k, v in fetched.items()}
-                img = hm.render(self.pipeline.ctx, frame_id, {}, sub, self.global_data)
+                img = hm.render(self.pipeline.ctx, frame_id, {}, sub0, self.global_data)
             except Exception:
                 log.error("host module %s failed:\n%s", hm.name, traceback.format_exc())
                 continue

@@ -105,6 +105,15 @@ class Module:
         """Output keys this module wants back on host each frame."""
         return []
 
+    def host_fetch_reduce(self) -> dict[str, str]:
+        """Batch reduction per host-fetched key for multi-sequence mode.
+
+        'sum' marks an additive key (histograms) safe to aggregate over
+        the sequence axis; undeclared keys are passed as sequence 0 with
+        a warning (see parallel/system.py::MultiSeqSystem).
+        """
+        return {}
+
     def host_update(
         self,
         ctx: PipelineContext,
@@ -156,6 +165,27 @@ class HostModule:
     def requires(self) -> list[Dependency]:
         return []
 
+    def provides_data(self) -> list[str]:
+        """Per-run data keys this module computes on host (e.g. planes_eq).
+
+        Returned keys of `process` are merged into the frame's fetched
+        dict, so they participate in the run-data contract — retained runs
+        (System.get_run_by_id) and downstream host modules see them, like
+        the reference's promise-store keys (include/modules/planefit.hpp:9-16).
+        """
+        return []
+
+    def process(
+        self,
+        ctx: PipelineContext,
+        frame_id: int,
+        frame: Mapping[str, np.ndarray],
+        fetched: Mapping[str, np.ndarray],
+        globals_: Mapping[str, Any],
+    ) -> dict[str, Any] | None:
+        """Compute per-run host data (keys listed by provides_data)."""
+        return None
+
     def render(
         self,
         ctx: PipelineContext,
@@ -165,4 +195,4 @@ class HostModule:
         globals_: Mapping[str, Any],
     ) -> np.ndarray | None | dict[str, np.ndarray]:
         """Return a BGR uint8 image (or dict window-name -> image)."""
-        raise NotImplementedError
+        return None

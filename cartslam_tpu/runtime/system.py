@@ -365,6 +365,27 @@ class System:
             if updated:
                 host_params[m.name] = {**host_params.get(m.name, {}), **updated}
 
+        # Host-computed per-run data (planes_eq etc.): merged into the
+        # frame's fetched dict — the SAME object held in the retention
+        # ring, so get_run_by_id and later host modules observe the keys
+        # (reference data contract, include/modules/planefit.hpp:9-16).
+        for hm in self.host_modules:
+            if not hm.provides_data():
+                continue
+            try:
+                extra = hm.process(
+                    self.pipeline.ctx, frame_id, frame_np, fetched,
+                    self.global_data,
+                )
+            except Exception:
+                log.error(
+                    "host module %s process failed:\n%s",
+                    hm.name, traceback.format_exc(),
+                )
+                continue
+            if extra:
+                fetched.update(extra)
+
         for hm in self.host_modules:
             try:
                 img = hm.render(self.pipeline.ctx, frame_id, frame_np, fetched, self.global_data)

@@ -185,12 +185,22 @@ class PlaneSegmentationVisualization(HostModule):
             main = np.concatenate([main, un], axis=0)
         out["Plane Segmentation"] = main
 
-        if self.show_histogram and "disp_derivative_histogram" in globals_:
-            out["Plane Segmentation Histogram"] = self._hist_image(globals_)
+        # Prefer the per-frame accumulating histogram (the reference's vis
+        # plots the live running total every frame, planeseg_vis.cu:111-211);
+        # the interval snapshot is the fallback.
+        hist_key = (
+            "disp_derivative_histogram_live"
+            if "disp_derivative_histogram_live" in globals_
+            else "disp_derivative_histogram"
+        )
+        if self.show_histogram and hist_key in globals_:
+            out["Plane Segmentation Histogram"] = self._hist_image(
+                globals_, hist_key
+            )
         return out
 
-    def _hist_image(self, globals_):
-        hist = np.asarray(globals_["disp_derivative_histogram"], np.float64)
+    def _hist_image(self, globals_, hist_key="disp_derivative_histogram"):
+        hist = np.asarray(globals_[hist_key], np.float64)
         hist_w, hist_h = 1024, 800
         bin_w = hist_w // 256
         img = np.zeros((hist_h, hist_w, 3), np.uint8)
@@ -269,7 +279,9 @@ class PlaneFitVisualization(HostModule):
         return [Dependency("superpixels")]
 
     def render(self, ctx, frame_id, frame, fetched, globals_):
-        fit = globals_.get("planes_eq")
+        # planes_eq is per-run data (fetched) since round 3; globals_ keeps
+        # the latest copy as a fallback.
+        fit = fetched.get("planes_eq") or globals_.get("planes_eq")
         if fit is None:
             return None
         labels = fetched["superpixels"]

@@ -1,0 +1,116 @@
+"""End-to-end System.run benchmark: the REAL driver loop.
+
+bench.py measures dispatch throughput on pre-uploaded frames; this script
+measures the full production path instead (VERDICT r2 item 4): PNG decode
+in the prefetch thread -> host->device upload -> jitted step -> watchdogged
+result drain -> host histogram/provider updates, over a KITTI-geometry
+synthetic dataset written to disk as real PNG files.
+
+Usage: python scripts/bench_system_run.py [--frames 120] [--sweep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def make_dataset(root: str, frames: int, h: int = 376, w: int = 1241):
+    """KITTI-layout synthetic stereo PNGs + calib.txt."""
+    import cv2
+
+    from cartslam_tpu.sources.synthetic import SyntheticDataSource
+
+    seq = os.path.join(root, "sequences", "00")
+    os.makedirs(os.path.join(seq, "image_2"), exist_ok=True)
+    os.makedirs(os.path.join(seq, "image_3"), exist_ok=True)
+    with open(os.path.join(seq, "calib.txt"), "w") as f:
+        p2 = "P2: 707.1 0 601.9 -337.3 0 707.1 183.1 0 0 0 1 0"
+        p3 = "P3: 707.1 0 601.9 -337.3 0 707.1 183.1 0 0 0 1 0"
+        f.write(p2 + "\n" + p3 + "\n")
+    src = SyntheticDataSource(
+        image_size=(h, w), num_frames=frames, seed=0,
+        max_disparity=80.0, baseline=20.0,
+    )
+    i = 0
+    while not src.is_finished():
+        fr = src.get_next()
+        if fr is None:
+            break
+        cv2.imwrite(os.path.join(seq, "image_2", f"{i:06d}.png"), fr["left"])
+        cv2.imwrite(os.path.join(seq, "image_3", f"{i:06d}.png"), fr["right"])
+        i += 1
+    return i
+
+
+def run_once(root: str, frames: int, max_in_flight: int, prefetch: int):
+    from cartslam_tpu.config.registry import build_system
+
+    source_cfg = {"type": "kitti", "path": root, "sequence": 0}
+    modules_cfg = [
+        {"type": "disparity", "num_disparities": 256,
+         "smoothing_radius": 2, "smoothing_iterations": 1},
+        {"type": "disparity_derivative"},
+        {"type": "depth"},
+        {"type": "superpixels", "initial_iterations": 24, "iterations": 8},
+        {"type": "optflow"},
+        {"type": "superpixel_disparity_planeseg",
+         "use_temporal_smoothing": True,
+         "parameter_provider": {"type": "histogram_peak"}},
+    ]
+    system = build_system(
+        source_cfg, modules_cfg,
+        max_in_flight=max_in_flight, prefetch_depth=prefetch,
+        snapshot_interval=0,
+    )
+    stamps = []
+    t0 = time.perf_counter()
+    n = system.run(on_frame=lambda fid, out: stamps.append(time.perf_counter()))
+    wall = time.perf_counter() - t0
+
+    # Steady-state fps over the second half (skips compile + warmup).
+    half = stamps[len(stamps) // 2:]
+    steady = (len(half) - 1) / (half[-1] - half[0]) if len(half) > 2 else 0.0
+    return {
+        "frames": n,
+        "wall_s": round(wall, 2),
+        "fps_total": round(n / wall, 2),
+        "fps_steady": round(steady, 2),
+        "max_in_flight": max_in_flight,
+        "prefetch_depth": prefetch,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--root", default="/tmp/cart_kitti_bench")
+    ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    if not os.path.exists(os.path.join(args.root, "sequences", "00", "calib.txt")):
+        n = make_dataset(args.root, args.frames)
+        print(f"dataset: {n} stereo PNG pairs at {args.root}", file=sys.stderr)
+
+    combos = [(4, 12)]
+    if args.sweep:
+        combos = [(2, 12), (4, 12), (8, 12), (4, 4), (8, 24)]
+    for mif, pre in combos:
+        r = run_once(args.root, args.frames, mif, pre)
+        print(json.dumps(r))
+
+    if not args.keep and not args.sweep:
+        shutil.rmtree(args.root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -30,3 +30,15 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Persistent XLA compile cache: the suite's cost is dominated by CPU
+# compiles of the jitted pipeline variants (the ops themselves run in
+# milliseconds); caching compilations makes repeat runs start warm.
+# Caches compiled code only, never results.
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_TEST_COMPILE_CACHE", "/root/.jaxcache_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -58,8 +58,10 @@ def test_inlier_counts():
 def _run_host_module(mod, labels, depth):
     fetched = {"superpixels": labels, "depth": depth}
     globals_ = {}
-    mod.render(None, 1, {}, fetched, globals_)
-    return globals_["planes_eq"]
+    out = mod.process(None, 1, {}, fetched, globals_)
+    assert "planes_eq" in mod.provides_data()
+    assert out["planes_eq"] is globals_["planes_eq"]
+    return out["planes_eq"]
 
 
 def test_planecluster_module():
@@ -207,3 +209,38 @@ def test_native_cluster_matches_python():
         np.asarray(native_out["planes"], np.float64),
         np.asarray(py_out["planes"], np.float64), rtol=1e-6, atol=1e-7,
     )
+
+
+def test_planes_eq_is_run_data():
+    """VERDICT r2 item 7: planes_eq must be fetchable per frame through the
+    run-data contract (retained runs / get_run_by_id), not only globals."""
+    import json
+    import os
+    import tempfile
+
+    from cartslam_tpu.config.registry import read_system_config
+
+    cfg = {
+        "data_source": {"type": "synthetic", "num_frames": 4,
+                        "image_size": [64, 96]},
+        "modules": [
+            {"type": "disparity", "num_disparities": 32, "min_disparity": 1},
+            {"type": "disparity_derivative"},
+            {"type": "depth"},
+            {"type": "superpixels", "block_size": 8, "iterations": 2,
+             "initial_iterations": 2},
+            {"type": "planefit"},
+        ],
+    }
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "cfg.json")
+        with open(p, "w") as f:
+            json.dump(cfg, f)
+        system = read_system_config(p)
+        n = system.run()
+    assert n == 4
+    run = system.get_run_by_id(3)
+    assert "planes_eq" in run
+    assert run["planes_eq"]["assignments"].shape[0] > 0
+    # And the latest copy still lands in global data for legacy consumers.
+    assert "planes_eq" in system.global_data
