@@ -58,6 +58,103 @@ def _make_tally_kernel(blk, c, nhi, nlo, nb):
     return kernel
 
 
+def _make_vote_kernel(blk, npl, nhi, nlo, nb):
+    shift = nlo.bit_length() - 1
+    rows = nhi * npl
+
+    def kernel(lab_ref, vote_ref, out_ref, acc):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc[...] = jnp.zeros((rows, nlo), jnp.float32)
+
+        # Inputs arrive as [1, 1, blk] rows (a [blk, 1] block would pad
+        # its lane dim 1 -> 128 and blow VMEM 128x; a 2-D (1, blk) block
+        # violates the 8-sublane tiling rule); the one-hots are built
+        # TRANSPOSED so every op keeps blk on the lane axis.
+        lab = lab_ref[0]  # [1, blk] int32
+        vote = vote_ref[0]  # [1, blk] int32
+        sub_lo = jax.lax.broadcasted_iota(jnp.int32, (nlo, 1), 0)
+        ohlo_t = ((lab & (nlo - 1)) == sub_lo).astype(jnp.bfloat16)
+        # Row hi*npl + p: indicator (hi(lab)==hi) & (vote==p) — a pure
+        # compare against two iota-derived row codes, no Khatri-Rao
+        # materialization at all.
+        sub_r = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        mask = ((lab >> shift) == (sub_r // npl)) & (vote == sub_r % npl)
+        kr_t = mask.astype(jnp.bfloat16)
+        acc[...] += jax.lax.dot_general(
+            kr_t, ohlo_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(i == nb - 1)
+        def _():
+            out_ref[...] = acc[...]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_labels", "num_classes", "block",
+                              "interpret")
+)
+def vote_tally_pallas(
+    labels: jnp.ndarray,
+    votes: jnp.ndarray,
+    num_labels: int,
+    num_classes: int,
+    *,
+    block: int = 8192,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-label class counts: out[l, p] = #{pixels: label=l, vote=p}.
+
+    labels int [B]; votes int [B] in [0, num_classes).  Exact f32 integer
+    counts.  The tiny class count makes the one-hot rows a single iota
+    compare, so the whole tally is VMEM-resident compares + one small
+    matmul per block.
+    """
+    (b,) = votes.reshape(-1).shape
+    nlo = 128
+    while nlo < 1024 and nlo * nlo < num_classes * num_labels:
+        nlo *= 2
+    nhi = -(-num_labels // nlo)
+    nb = -(-b // block)
+    lab_p = jnp.pad(
+        labels.astype(jnp.int32).reshape(-1), (0, nb * block - b),
+        constant_values=nhi * nlo,
+    ).reshape(nb, 1, block)
+    vote_p = jnp.pad(
+        votes.astype(jnp.int32).reshape(-1), (0, nb * block - b),
+        constant_values=num_classes,  # matches no class row
+    ).reshape(nb, 1, block)
+
+    rows = nhi * num_classes
+    t = pl.pallas_call(
+        _make_vote_kernel(block, num_classes, nhi, nlo, nb),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, nlo), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, nlo), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows, nlo), jnp.float32)],
+        interpret=interpret,
+    )(lab_p, vote_p)
+    # t[hi*npl + p, lo] -> out[l = hi*nlo + lo, p]
+    out = (
+        t.reshape(nhi, num_classes, nlo)
+        .transpose(1, 0, 2)
+        .reshape(num_classes, nhi * nlo)
+    )
+    return out[:, :num_labels].T
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_labels", "block", "interpret")
 )

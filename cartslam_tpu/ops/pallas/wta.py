@@ -113,12 +113,13 @@ def wta_lr_row(s, min_disparity, uniqueness, subpixel, lr_check, real_w):
         )
         best_r = key_r % d  # [1, Wv] right-view winner
 
-        ind = (jnp.abs(best_r - dt) <= 1).astype(jnp.int16)
+        # int8 indicator: quarter the vector registers per unshear pass.
+        ind = (jnp.abs(best_r - dt) <= 1).astype(jnp.int8)
         for kbit in range(nbits):
             k = 1 << kbit
             ind = jnp.where(
                 (amt & k) != 0,
-                _shift_lanes_right(ind, k, jnp.int16(0)),
+                _shift_lanes_right(ind, k, jnp.int8(0)),
                 ind,
             )
         agree = jnp.max(

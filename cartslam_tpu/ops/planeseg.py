@@ -237,13 +237,20 @@ def superpixel_vote(
     # Vote tally and winner paint both ride the MXU via the two-level
     # one-hot decomposition (ops/tally.py) — exact integer counts, no
     # scatter/gather (TPU scatter/gather cost is per-index).
-    oh_votes = (
-        pixel_planes.reshape(-1)[:, None]
-        == jnp.arange(PLANE_COUNT, dtype=jnp.uint8)
-    ).astype(jnp.bfloat16)
-    counts_lc = label_tally(flat_labels, oh_votes, num_labels).astype(
-        jnp.int32
-    )
+    if jax.default_backend() == "tpu":
+        from .pallas.tally import vote_tally_pallas
+
+        counts_lc = vote_tally_pallas(
+            flat_labels, pixel_planes.reshape(-1), num_labels, PLANE_COUNT
+        ).astype(jnp.int32)
+    else:
+        oh_votes = (
+            pixel_planes.reshape(-1)[:, None]
+            == jnp.arange(PLANE_COUNT, dtype=jnp.uint8)
+        ).astype(jnp.bfloat16)
+        counts_lc = label_tally(flat_labels, oh_votes, num_labels).astype(
+            jnp.int32
+        )
     counts = [counts_lc[:, p] for p in range(PLANE_COUNT)]
 
     best = jnp.full((num_labels,), UNKNOWN, jnp.int32)

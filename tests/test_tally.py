@@ -51,3 +51,20 @@ def test_table_gather_exact():
         lab = rng.randint(0, L, (120, 130)).astype(np.int32)
         got = np.asarray(table_gather(jnp.asarray(tbl), jnp.asarray(lab)))
         assert np.array_equal(tbl[lab], got), L
+
+
+def test_vote_tally_pallas_interpret_exact():
+    from cartslam_tpu.ops.pallas.tally import vote_tally_pallas
+
+    rng = np.random.RandomState(4)
+    for B, L in [(65536, 3328), (10000, 500)]:
+        lab = rng.randint(0, L, B).astype(np.int32)
+        vote = rng.randint(0, 3, B).astype(np.int32)
+        ref = np.zeros((L, 3), np.int64)
+        np.add.at(ref, (lab, vote), 1)
+        got = np.asarray(
+            vote_tally_pallas(
+                jnp.asarray(lab), jnp.asarray(vote), L, 3, interpret=True
+            )
+        )
+        assert np.array_equal(ref, got.astype(np.int64)), (B, L)
