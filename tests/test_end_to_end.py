@@ -131,13 +131,13 @@ def test_fetch_watchdog_times_out(monkeypatch):
 
     mods = [{"type": "disparity", "num_disparities": 16, "min_disparity": 0}]
     system = build_system(
-        dict(SRC), mods, extra_fetch_keys=["disparity"], data_timeout=0.05
+        dict(SRC), mods, extra_fetch_keys=["disparity"], data_timeout=2.0
     )
     calls = {"n": 0}
 
     class Hang:
         def items(self):
-            _time.sleep(0.5)
+            _time.sleep(8.0)
             return []
 
     orig_fetch = system._fetch_with_timeout

@@ -209,12 +209,12 @@ def test_multiseq_fetch_watchdog_times_out(mesh, tmp_path, monkeypatch):
     data_timeout and the run continues (VERDICT r2: drain had no watchdog)."""
     import time as _time
 
-    system = _multiseq_system(tmp_path, mesh, data_timeout=0.05)
+    system = _multiseq_system(tmp_path, mesh, data_timeout=2.0)
     calls = {"n": 0}
 
     class Hang:
         def items(self):
-            _time.sleep(0.5)
+            _time.sleep(8.0)
             return []
 
     orig = system._fetch_with_timeout

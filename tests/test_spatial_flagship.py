@@ -18,6 +18,20 @@ from cartslam_tpu.parallel.spatial_flagship import (
 )
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_compile_cache():
+    """Serializing this module's shard_map executables into the persistent
+    compile cache segfaults the CPU backend (observed in
+    jax compilation_cache.put_executable_and_time); keep these compiles
+    session-local.  The cache object is initialized once, so unsetting the
+    dir after first use is a no-op — the min-compile-time threshold IS
+    consulted at write time, so raise it beyond reach instead."""
+    old = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", old)
+
+
 @pytest.fixture(scope="module")
 def mesh():
     devs = jax.devices()
