@@ -320,12 +320,6 @@ def sgm_aggregate_pallas(
     )
     s_bt = bt(cost_hdw)
 
-    if combine == "volumes":
-        # For the fused WTA/LR kernel: [H, D, Wv] int16, reversed d.
-        s_hdw = jnp.transpose(s_lr + s_rl, (2, 1, 0))  # [H, D, Wb]
-        s_hdw = jnp.pad(s_hdw, ((0, 0), (0, 0), (0, wv - wb)))
-        return s_hdw, s_tb[:h], s_bt[:h], wv
-
     # Combine in a common [H, W, D] layout and un-reverse the d axis.
     # int16 is exact: each normalized path value <= C_max + P2, so the
     # 4-path sum stays well under 32767.

@@ -1,22 +1,17 @@
-"""Fused SGM winner-take-all + uniqueness + subpixel + LR check, Pallas TPU.
+"""SGM winner-take-all + uniqueness + subpixel + LR check row pipeline.
 
-After the four path sweeps, the XLA post-processing (volume adds,
-transposes, keyed min-reductions, and the O(log D) left-right shear — each
-a full pass over the [H, W, D] volume in HBM) dominates SGM.  This kernel
-does ALL of it in one pass: each grid step loads a few rows of the three
-summed-path volumes into VMEM and runs the entire WTA/LR pipeline on
-[D, W] row planes (sublanes = D, lanes = W), where the shear's
-log-decomposed shifts are VMEM-local lane moves instead of HBM passes.
+`wta_lr_row` runs the entire WTA/LR post-processing on one [D, W] row
+plane in VMEM (sublanes = D, lanes = W): keyed min-reductions for the
+winner and its lowest-true-d tie-break, the OpenCV-SGBM uniqueness test,
+quadratic sub-pixel refinement, and the O(log D) left-right shear as
+VMEM-local lane moves.  It is consumed by the fused bottom-up-sweep +
+WTA kernel in ops/pallas/sgm.py (sgm_fused_pallas), which assembles the
+4-path sum row by row so no summed volume ever exists in HBM.
 
-Inputs stay in the sweeps' REVERSED-d layout (d' = D-1-d); the kernel
-indexes through d_true = D-1-d' exactly like stereo._wta/_lr_agreement,
+Inputs stay in the sweeps' REVERSED-d layout (d' = D-1-d); the indexing
+goes through d_true = D-1-d' exactly like stereo._wta/_lr_agreement,
 whose integer formulas are reproduced verbatim (bit-parity is tested in
 interpret mode against the XLA path).
-
-Layouts:
-    s_h  [H, D, Wv] int16 — (lr+rl) horizontal sum, transposed by XLA
-    s_tb, s_bt [H, D, Wv] int16 — vertical sweeps (native layout)
-Output: disparity int16 [H, Wv] in the x16 fixed-point contract.
 """
 
 from __future__ import annotations
@@ -131,74 +126,3 @@ def wta_lr_row(s, min_disparity, uniqueness, subpixel, lr_check, real_w):
 
     disp16 = (best + min_disparity) * 16 + delta
     return jnp.where(valid, disp16, _INVALID).astype(jnp.int16)[0]
-
-
-def _make_wta_kernel(
-    hb, d, wv, min_disparity, uniqueness, subpixel, lr_check, real_w
-):
-    def kernel(sh_ref, stb_ref, sbt_ref, out_ref):
-        for r in range(hb):
-            s = (
-                sh_ref[r].astype(jnp.int32)
-                + stb_ref[r].astype(jnp.int32)
-                + sbt_ref[r].astype(jnp.int32)
-            )  # [D, Wv]
-            out_ref[0, r] = wta_lr_row(
-                s, min_disparity, uniqueness, subpixel, lr_check, real_w
-            )
-
-    return kernel
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "min_disparity", "uniqueness", "subpixel", "lr_check", "interpret",
-        "real_w",
-    ),
-)
-def sgm_wta_lr_pallas(
-    s_h: jnp.ndarray,
-    s_tb: jnp.ndarray,
-    s_bt: jnp.ndarray,
-    *,
-    min_disparity: int,
-    uniqueness: int,
-    subpixel: bool,
-    lr_check: bool,
-    real_w: int | None = None,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Volumes [H, D, Wv] int16 (reversed d) -> int16 x16 disparity [H, Wv].
-
-    Caller crops Wv back to the real width.
-    """
-    h, d, wv = s_h.shape
-    if real_w is None:
-        real_w = wv
-    hb = 8
-    while hb > 1 and 3 * hb * d * wv * 2 > 5 * 1024 * 1024:
-        hb //= 2
-    hpad = -h % hb
-    if hpad:
-        s_h = jnp.pad(s_h, ((0, hpad), (0, 0), (0, 0)))
-        s_tb = jnp.pad(s_tb, ((0, hpad), (0, 0), (0, 0)))
-        s_bt = jnp.pad(s_bt, ((0, hpad), (0, 0), (0, 0)))
-    hp = h + hpad
-
-    spec = pl.BlockSpec((hb, d, wv), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    # Output written as [nblocks, hb, wv] so the block equals full trailing
-    # dims even when hb < 8 (alignment rule), reshaped flat afterwards.
-    out = pl.pallas_call(
-        _make_wta_kernel(
-            hb, d, wv, min_disparity, uniqueness, subpixel, lr_check, real_w
-        ),
-        grid=(hp // hb,),
-        in_specs=[spec, spec, spec],
-        out_specs=pl.BlockSpec(
-            (1, hb, wv), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((hp // hb, hb, wv), jnp.int16),
-        interpret=interpret,
-    )(s_h, s_tb, s_bt)
-    return out.reshape(hp, wv)[:h]

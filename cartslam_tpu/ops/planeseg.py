@@ -133,15 +133,16 @@ def temporal_vote_warped(
 
     TPU-first re-design of the reference's temporal smoothing
     (planeseg.cu:199-241): instead of re-warping every previous frame's
-    labels each frame (K separate full-image gathers — the most expensive
-    op in the whole pipeline, since TPU gather cost is per-index), carry
-    the already-warped vote stack across frames and warp it ONCE by the
-    current flow:
+    labels each frame (K separate full-image warps — the most expensive
+    op in the whole pipeline), carry the already-warped vote stack across
+    frames and warp it ONCE by the current flow:
 
         V_k(t) = warp_{f_t}(V_{k-1}(t-1)),   V_0 := planes(t-1)
 
-    All K channels pack into one int32 word (labels are 2-bit), so the
-    warp is a single 469k-index gather regardless of K.
+    All K channels pack into one int32 word (labels are 2-bit), so ONE
+    image warps regardless of K — and that warp runs as bounded dense
+    multi-select shifts on TPU (ops/warp.py; per-index gather cost is
+    the TPU killer) or as a single 469k-index gather elsewhere.
 
     Semantics note: this samples the k-th flow at the CHAINED position
     (the true backward trajectory); the reference samples every flow at

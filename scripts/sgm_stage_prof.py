@@ -1,8 +1,7 @@
-"""Microbenchmark of the SGM Pallas stages at flagship geometry.
+"""Microbenchmark of the SGM paths at flagship geometry.
 
-Times each stage (census, horizontal sweeps, transposes, vertical sweeps,
-fused WTA) in isolation with block_until_ready loops on the real chip, to
-attribute the SGM budget before optimizing.
+Times census, the (test-only) split aggregation path, and the production
+fused path in isolation with fetch-forced sync on the real chip.
 
 Usage: python scripts/sgm_stage_prof.py [--disp 256] [--iters 20]
 """
@@ -52,7 +51,6 @@ def main():
 
     from cartslam_tpu.ops import stereo
     from cartslam_tpu.ops.pallas.sgm import sgm_aggregate_pallas
-    from cartslam_tpu.ops.pallas.wta import sgm_wta_lr_pallas
 
     h, w, d = 376, 1248, args.disp
     min_d, p1, p2, uniq = 4, 10, 120, 12
@@ -65,26 +63,19 @@ def main():
     cl, cr = census(left, right)
     jax.block_until_ready(cl)
     t_census = timeit(census, left, right, iters=args.iters)
-    print(f"census x2:            {t_census:7.3f} ms")
+    print(f"census x2:                    {t_census:7.3f} ms")
 
     agg = jax.jit(lambda cl, cr: sgm_aggregate_pallas(
-        cl, cr, min_disparity=min_d, num_disparities=d, p1=p1, p2=p2,
-        combine="volumes"))
-    s_h, s_tb, s_bt, wv = agg(cl, cr)
+        cl, cr, min_disparity=min_d, num_disparities=d, p1=p1, p2=p2))
+    agg(cl, cr)
     t_agg = timeit(agg, cl, cr, iters=args.iters)
-    print(f"aggregate (4 sweeps + transposes): {t_agg:7.3f} ms")
-
-    wta = jax.jit(lambda a, b, c: sgm_wta_lr_pallas(
-        a, b, c, min_disparity=min_d, uniqueness=uniq, subpixel=True,
-        lr_check=True, real_w=w))
-    t_wta = timeit(wta, s_h, s_tb, s_bt, iters=args.iters)
-    print(f"fused WTA/LR kernel:  {t_wta:7.3f} ms")
+    print(f"split aggregate (test path):  {t_agg:7.3f} ms")
 
     full = jax.jit(lambda a, b: stereo.sgm_disparity(
         a, b, min_disparity=min_d, num_disparities=d, p1=p1, p2=p2,
         uniqueness=uniq, backend="pallas"))
     t_full = timeit(full, left, right, iters=args.iters)
-    print(f"full sgm_disparity:   {t_full:7.3f} ms")
+    print(f"full fused sgm_disparity:     {t_full:7.3f} ms")
 
 
 if __name__ == "__main__":
