@@ -224,6 +224,12 @@ def build_system(
         mode = parallel.get("mode", "multiseq")
         if mode != "multiseq":
             raise ValueError(f"unknown parallel mode '{mode}'")
+        if "multihost" in parallel:
+            # DCN across hosts; afterwards jax.devices() spans the fleet
+            # and the data mesh below covers it (SURVEY §5.8).
+            from ..parallel.distributed import initialize_multihost
+
+            initialize_multihost(parallel["multihost"])
         batch = int(parallel.get("batch", len(__import__("jax").devices())))
         src_cfgs = parallel.get("sources")
         if src_cfgs is None:

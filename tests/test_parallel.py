@@ -271,3 +271,17 @@ def test_sharded_interpolate_matches_unsharded(mesh):
     xd = jax.device_put(jnp.array(d), NamedSharding(mesh, P(None, "spatial")))
     out = f(xd)
     np.testing.assert_array_equal(np.array(ref), np.array(out))
+
+
+def test_multihost_config_noop_on_single_host():
+    """The multihost initializer is config-reachable and a no-op without
+    coordinator settings (single-host), so the same config file runs
+    everywhere (SURVEY §5.8)."""
+    from cartslam_tpu.parallel.distributed import (
+        global_data_mesh, initialize_multihost,
+    )
+
+    assert initialize_multihost({}) is False
+    assert initialize_multihost(None) is False
+    mesh = global_data_mesh()
+    assert dict(mesh.shape)["data"] == len(jax.devices())
