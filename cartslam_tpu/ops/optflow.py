@@ -38,7 +38,10 @@ def _box_sum(x: jnp.ndarray, r: int) -> jnp.ndarray:
             out = out + _shift(rows, 0, -k) + _shift(rows, 0, k)
         return out
     k = 2 * r + 1
-    xp = jnp.pad(x, ((r, r), (r, r)))
+    # Edge padding matches the direct path's clamped _shift, so the border
+    # convention is radius-independent (ADVICE r3).  The quality harness
+    # (tests/test_quality.py EPE gates) runs the default win=2 direct path.
+    xp = jnp.pad(x, ((r, r), (r, r)), mode="edge")
     c = jnp.cumsum(xp, axis=0)
     c = jnp.pad(c, ((1, 0), (0, 0)))
     rows = c[k:, :] - c[:-k, :]
@@ -81,7 +84,18 @@ def _warp_backward(img: jnp.ndarray, flow: jnp.ndarray,
 
 
 def _search_level(cur, prev_warped, radius: int, win: int):
-    """Best (dx, dy) in [-radius, radius]^2 per pixel by windowed SAD."""
+    """Best (dx, dy) in [-radius, radius]^2 per pixel by windowed SAD.
+
+    TPU: fully unrolled — the (2r+1)^2 shift/SAD/select chain fuses into
+    a handful of VPU loops.  Other backends (the CPU test/dryrun mesh):
+    a `lax.scan` over the candidate list — XLA:CPU's compile time is
+    superlinear in graph size and the unrolled form alone costs minutes
+    (round-4 finding); the scan body compiles once.  Both paths visit
+    candidates in the same order with strict-< acceptance, so results
+    are identical.
+    """
+    if jax.default_backend() != "tpu":
+        return _search_level_scan(cur, prev_warped, radius, win)
     best_cost = None
     best_dx = jnp.zeros(cur.shape, jnp.float32)
     best_dy = jnp.zeros(cur.shape, jnp.float32)
@@ -100,6 +114,45 @@ def _search_level(cur, prev_warped, radius: int, win: int):
                 best_cost = jnp.where(take, cost, best_cost)
                 best_dx = jnp.where(take, float(dx), best_dx)
                 best_dy = jnp.where(take, float(dy), best_dy)
+    return best_dx, best_dy
+
+
+def _search_level_scan(cur, prev_warped, radius: int, win: int):
+    """Scan-form of `_search_level` (identical results, tiny compile)."""
+    offs = jnp.asarray(
+        [
+            (dy, dx)
+            for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)
+        ],
+        jnp.int32,
+    )
+    pad = jnp.pad(
+        prev_warped, ((radius, radius), (radius, radius)), mode="edge"
+    )
+
+    def body(carry, off):
+        best_cost, best_dx, best_dy = carry
+        dy, dx = off[0], off[1]
+        # in[y - dy, x - dx] with edge clamp == _shift(prev, -dy, -dx)
+        cand = jax.lax.dynamic_slice(
+            pad, (radius - dy, radius - dx), cur.shape
+        )
+        cost = _box_sum(jnp.abs(cur - cand), win)
+        cost = cost + 0.01 * (jnp.abs(dx) + jnp.abs(dy)).astype(jnp.float32)
+        take = cost < best_cost
+        return (
+            jnp.where(take, cost, best_cost),
+            jnp.where(take, dx.astype(jnp.float32), best_dx),
+            jnp.where(take, dy.astype(jnp.float32), best_dy),
+        ), None
+
+    init = (
+        jnp.full(cur.shape, jnp.inf, jnp.float32),
+        jnp.zeros(cur.shape, jnp.float32),
+        jnp.zeros(cur.shape, jnp.float32),
+    )
+    (_, best_dx, best_dy), _ = jax.lax.scan(body, init, offs)
     return best_dx, best_dy
 
 

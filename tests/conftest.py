@@ -37,11 +37,32 @@ if "xla_force_host_platform_device_count" not in flags:
 # WRITES are suppressed (min-compile-time beyond reach) because the CPU
 # backend intermittently SEGFAULTS while serializing large executables
 # (observed in jax compilation_cache.put_executable_and_time for both
-# shard_map and donated pipeline steps).  Reads never crash.
+# shard_map and donated pipeline steps).  The dir is keyed by a host-CPU
+# feature hash: XLA:CPU AOT entries embed the compile machine's feature
+# set, and loading them on a different host spews cpu_aot_loader errors
+# and risks SIGILL (observed in the round-3 driver dryrun).
+import hashlib  # noqa: E402
+
 import jax  # noqa: E402
+
+
+def _host_cpu_tag() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+
 
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.environ.get("JAX_TEST_COMPILE_CACHE", "/root/.jaxcache_tests"),
+    os.environ.get("JAX_TEST_COMPILE_CACHE", "/root/.jaxcache_tests")
+    + "_" + _host_cpu_tag(),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
