@@ -40,13 +40,54 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def _min_sublanes(x):
+    """min over axis 0 (keepdims) that also lowers for narrow int dtypes.
+
+    Mosaic implements cross-sublane reduce only for 32-bit types; for
+    int16/int8 a halving tree of elementwise minimums (supported at any
+    width) computes the same value in log2(D) rounds of shrinking work.
+    """
+    if x.dtype == jnp.int32:
+        return jnp.min(x, axis=0, keepdims=True)
+    n = x.shape[0]
+    while n > 1:
+        half = n // 2
+        m = jnp.minimum(x[:half], x[half : 2 * half])
+        x = jnp.concatenate([m, x[2 * half :]], axis=0) if n % 2 else m
+        n = n - half
+    return x
+
+
 def _recurrence(carry, cost, p1, p2):
-    """carry, cost: [D, R] int32 -> new carry [D, R] int32."""
-    m = jnp.min(carry, axis=0, keepdims=True)
-    dn = jnp.concatenate([jnp.full_like(carry[:1], _BIG), carry[:-1]], axis=0)
-    up = jnp.concatenate([carry[1:], jnp.full_like(carry[:1], _BIG)], axis=0)
+    """carry, cost: [D, R] int -> new carry, same dtype.
+
+    Normalized path values are bounded by C_max + P2 (182 for the
+    defaults), so int16 accumulation is bit-exact and halves the VPU
+    work per pass; the +inf stand-in only needs to exceed any real
+    m + p2 while leaving headroom for +p1 (16384 + p1 stays in int16
+    for every config that qualifies for the int16 path).
+    """
+    big = _BIG if carry.dtype == jnp.int32 else 1 << 14
+    m = _min_sublanes(carry)
+    dn = jnp.concatenate([jnp.full_like(carry[:1], big), carry[:-1]], axis=0)
+    up = jnp.concatenate([carry[1:], jnp.full_like(carry[:1], big)], axis=0)
     best = jnp.minimum(jnp.minimum(carry, jnp.minimum(dn, up) + p1), m + p2)
     return cost + best - m
+
+
+def _acc_dtype(p1, p2):
+    """Accumulation dtype for the sweep carries.
+
+    int16 would be bit-exact in the small-cost regime (path values
+    <= C_max + p2 <= 182 for the defaults) and halve the VPU work, but
+    the current Mosaic lowering legalizes almost no packed-i16 vector
+    arithmetic (arith.minsi/cmpi/subi on vector<8x128x2xi16> all fail to
+    legalize on v5e; only add and 32-bit-masked selects work — probed
+    round 4), so the carries stay int32 until Mosaic catches up.  The
+    interpret-mode tests pass either way; only real lowering gates this.
+    """
+    del p1, p2
+    return jnp.int32
 
 
 def _make_hsweep(h, w, d, pad, min_disparity, p1, p2, cols_per_step, backward,
@@ -69,13 +110,14 @@ def _make_hsweep(h, w, d, pad, min_disparity, p1, p2, cols_per_step, backward,
     nblocks = w // cols_per_step
     if real_h is None:
         real_h = h
+    acc = _acc_dtype(p1, p2)
 
     def kernel(cl0, cl1, cr0, cr1, s_out, c_out, carry):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            carry[...] = jnp.zeros((d, h), jnp.int32)
+            carry[...] = jnp.zeros((d, h), acc)
 
         for cc in range(cols_per_step):
             c = cols_per_step - 1 - cc if backward else cc
@@ -108,7 +150,7 @@ def _make_hsweep(h, w, d, pad, min_disparity, p1, p2, cols_per_step, backward,
             if real_h < h:
                 hl = jax.lax.broadcasted_iota(jnp.int32, (d, h), 1)
                 valid = valid & (hl < real_h)
-            cost = jnp.where(valid, cost, _COST_INVALID).astype(jnp.int32)
+            cost = jnp.where(valid, cost, _COST_INVALID).astype(acc)
 
             new = _recurrence(carry[...], cost, p1, p2)
             carry[...] = new
@@ -133,16 +175,18 @@ def _make_vsweep(h, wt, d, p1, p2, rows_per_step, backward,
     256 disparities.
     """
 
+    acc = _acc_dtype(p1, p2)
+
     def kernel(c_in, s_out, carry):
         i = pl.program_id(1)
 
         @pl.when(i == 0)
         def _():
-            carry[...] = jnp.zeros((d, wt), jnp.int32)
+            carry[...] = jnp.zeros((d, wt), acc)
 
         for rr in range(rows_per_step):
             r = rows_per_step - 1 - rr if backward else rr
-            cost = c_in[r].astype(jnp.int32)
+            cost = c_in[r].astype(acc)
             new = _recurrence(carry[...], cost, p1, p2)
             carry[...] = new
             s_out[r] = new.astype(s_dtype)
@@ -164,21 +208,23 @@ def _make_btwta_kernel(
     """
     from .wta import wta_lr_row
 
+    acc = _acc_dtype(p1, p2)
+
     def kernel(c_in, slr, srl, stb, out_ref, carry):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            carry[...] = jnp.zeros((d, wv), jnp.int32)
+            carry[...] = jnp.zeros((d, wv), acc)
 
         for rr in range(rps):
             r = rps - 1 - rr  # bottom-up within the block
-            new = _recurrence(carry[...], c_in[r].astype(jnp.int32), p1, p2)
+            new = _recurrence(carry[...], c_in[r].astype(acc), p1, p2)
             carry[...] = new
             s = (
-                slr[r].astype(jnp.int32)
-                + srl[r].astype(jnp.int32)
-                + stb[r].astype(jnp.int32)
+                slr[r].astype(acc)
+                + srl[r].astype(acc)
+                + stb[r].astype(acc)
                 + new
             )
             out_ref[0, r] = wta_lr_row(
@@ -222,6 +268,7 @@ def sgm_aggregate_pallas(
     wb = _round_up(w, cps)
     # Left history + 8 rows of alignment slack on both sides.
     pad = min_disparity + d - 1 + 8
+    acc = _acc_dtype(p1, p2)
 
     # Transposed, padded census: [pad + Wb + 8, H].
     def prep(a, fill):
@@ -249,7 +296,7 @@ def sgm_aggregate_pallas(
             jax.ShapeDtypeStruct((wb, d, h), jnp.int16),
             jax.ShapeDtypeStruct((wb, d, h), jnp.int8),
         ],
-        scratch_shapes=[pltpu.VMEM((d, h), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((d, h), acc)],
         interpret=interpret,
     )
     s_lr, cost_wdh = fwd(cl0, cl1, cr0, cr1)
@@ -263,7 +310,7 @@ def sgm_aggregate_pallas(
             (cps, d, h), lambda i: (nblocks - 1 - i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((wb, d, h), jnp.int16),
-        scratch_shapes=[pltpu.VMEM((d, h), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((d, h), acc)],
         interpret=interpret,
     )
     s_rl = bwd(cl0, cl1, cr0, cr1)
@@ -296,7 +343,7 @@ def sgm_aggregate_pallas(
             (rps, d, wt), lambda j, i: (i, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((hb, d, wv), jnp.int16),
-        scratch_shapes=[pltpu.VMEM((d, wt), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((d, wt), acc)],
         interpret=interpret,
     )
     s_tb = tb(cost_hdw)
@@ -315,7 +362,7 @@ def sgm_aggregate_pallas(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((hb, d, wv), jnp.int16),
-        scratch_shapes=[pltpu.VMEM((d, wt), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((d, wt), acc)],
         interpret=interpret,
     )
     s_bt = bt(cost_hdw)
@@ -367,6 +414,7 @@ def sgm_fused_pallas(
     wb = _round_up(w, cps)
     pad = min_disparity + d - 1 + 8
     vol_dtype = jnp.uint8 if _COST_INVALID + p2 <= 255 else jnp.int16
+    acc = _acc_dtype(p1, p2)
 
     # The sweep kernels emit the FINAL padded extents directly (H padded
     # to the row-block multiple via the uniform-cost warmup trick, W via
@@ -408,7 +456,7 @@ def sgm_fused_pallas(
             jax.ShapeDtypeStruct((wv, d, hb), vol_dtype),
             jax.ShapeDtypeStruct((wv, d, hb), jnp.int8),
         ],
-        scratch_shapes=[pltpu.VMEM((d, hb), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((d, hb), acc)],
         interpret=interpret,
     )
     s_lr, cost_wdh = fwd(cl0, cl1, cr0, cr1)
@@ -423,7 +471,7 @@ def sgm_fused_pallas(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((wv, d, hb), vol_dtype),
-        scratch_shapes=[pltpu.VMEM((d, hb), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((d, hb), acc)],
         interpret=interpret,
     )
     s_rl = bwd(cl0, cl1, cr0, cr1)
@@ -449,7 +497,7 @@ def sgm_fused_pallas(
             (rps, d, wt), lambda j, i: (i, 0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((hb, d, wv), vol_dtype),
-        scratch_shapes=[pltpu.VMEM((d, wt), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((d, wt), acc)],
         interpret=interpret,
     )
     s_tb = tb(cost_hdw)
@@ -480,7 +528,7 @@ def sgm_fused_pallas(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nb2, rps2, wv), jnp.int16),
-        scratch_shapes=[pltpu.VMEM((d, wv), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((d, wv), acc)],
         interpret=interpret,
     )(cost_hdw, slr_hdw, srl_hdw, s_tb)
     return out.reshape(hb, wv)[:h, :w]
