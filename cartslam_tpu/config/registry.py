@@ -186,6 +186,140 @@ def _build_module(cfg: dict, st: ConfigState):
     raise ValueError(f"unknown module type '{mtype}'")
 
 
+def _warn_warp_bound(modules):
+    """Surface the max_warp_y <-> dense_flow coupling (ADVICE r3): in
+    'select' warp mode, temporal votes whose flow exceeds the warp bound
+    are dropped (the current frame still votes with weight 2); 'gather'
+    mode keeps them.  Warn when the configured flow can actually exceed
+    the bound so the tradeoff is a visible choice, not a silent one."""
+    from ..models.optflow import ImageOpticalFlowModule
+    from ..ops.optflow import flow_bound
+
+    flows = [m for m in modules if isinstance(m, ImageOpticalFlowModule)]
+    segs = [
+        m
+        for m in modules
+        if getattr(m, "temporal", False) and hasattr(m, "max_warp_y")
+    ]
+    if not flows or not segs:
+        return
+    f = flows[0]
+    bound = flow_bound(
+        levels=f.levels, search=f.search, refine=f.refine,
+        base_level=f.base_level, fine_refine=getattr(f, "fine_refine", 1),
+    )
+    for m in segs:
+        if m.warp_mode in ("auto", "select") and m.max_warp_y < bound:
+            import logging
+
+            logging.getLogger("cart.config").warning(
+                "dense_flow's static vertical bound is %d px but "
+                "max_warp_y=%d: temporal votes with larger vertical flow "
+                "are dropped in 'select' warp mode (raise max_warp_y or "
+                "set warp_mode='gather' to keep them)",
+                bound, m.max_warp_y,
+            )
+
+
+def _build_spatial_pipeline(parallel: dict, ctx, modules, source_cfg):
+    """Map the standard modules list onto the spatial flagship chain.
+
+    The spatial mode implements the flagship preset (disparity ->
+    derivative -> depth -> flow -> superpixels -> superpixel planeseg) as
+    ONE height-sharded program; module parameters transfer 1:1, module
+    types outside that chain are rejected (run them in single-chip or
+    multiseq mode).
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    from ..parallel.spatial_flagship import (
+        SpatialFlagshipConfig, SpatialPipeline,
+    )
+
+    by_type = {}
+    for m in modules:
+        by_type[type(m).__name__] = m
+    supported = {
+        "ImageDisparityModule", "ImageDisparityDerivativeModule",
+        "DepthModule", "ImageOpticalFlowModule", "SuperPixelModule",
+        "SuperPixelDisparityPlaneSegmentationModule",
+    }
+    unsupported = sorted(
+        type(m).__name__ for m in modules if type(m).__name__ not in supported
+    )
+    if unsupported:
+        raise ValueError(
+            f"spatial mode supports only the flagship chain; unsupported "
+            f"modules: {unsupported}"
+        )
+    for need in ("ImageDisparityModule", "SuperPixelModule",
+                 "SuperPixelDisparityPlaneSegmentationModule"):
+        if need not in by_type:
+            raise ValueError(
+                f"spatial mode requires a {need} in the modules list"
+            )
+    disp = by_type["ImageDisparityModule"]
+    sup = by_type["SuperPixelModule"]
+    sp = by_type["SuperPixelDisparityPlaneSegmentationModule"]
+    flow = by_type.get("ImageOpticalFlowModule")
+
+    n = int(parallel.get("devices", len(jax.devices())))
+    mesh = Mesh(np.array(jax.devices()[:n]), ("spatial",))
+    h_local = ctx.height // n if ctx.height % n == 0 else 0
+
+    kw = dict(
+        height=ctx.height,
+        width=ctx.width,
+        num_disparities=disp.num_disparities,
+        min_disparity=disp.min_disparity,
+        sgm_p1=disp.p1,
+        sgm_p2=disp.p2,
+        uniqueness=disp.uniqueness,
+        smoothing_radius=disp.smoothing_radius,
+        smoothing_iterations=disp.smoothing_iterations,
+        block_size=sup.block_size,
+        iterations=sup.iterations,
+        initial_iterations=sup.initial_iterations,
+        reset_iterations=sup.reset_iterations,
+        image_weight=sup.image_weight,
+        disparity_weight=sup.disparity_weight,
+        compactness_weight=sup.compactness_weight,
+        direct_clique_cost=sup.direct_clique_cost,
+        diagonal_clique_cost=sup.diagonal_clique_cost,
+        temporal_distance=sp.distance,
+        max_warp_y=min(sp.max_warp_y, h_local) if h_local else sp.max_warp_y,
+        max_warp_x=sp.max_warp_x,
+    )
+    if h_local and sp.max_warp_y > h_local:
+        import logging
+
+        logging.getLogger("cart.config").warning(
+            "spatial mode clamps max_warp_y %d -> %d (the halo cannot "
+            "exceed one %d-row shard)", sp.max_warp_y, h_local, h_local
+        )
+    if flow is not None:
+        kw.update(
+            flow_levels=flow.levels, flow_search=flow.search,
+            flow_refine=flow.refine, flow_base_level=flow.base_level,
+        )
+    # Approximation-depth knobs: halos cannot exceed one shard's rows.
+    if "sgm_halo" in parallel:
+        kw["sgm_halo"] = int(parallel["sgm_halo"])
+    elif h_local:
+        kw["sgm_halo"] = min(24, h_local)
+    if "flow_halo" in parallel:
+        kw["flow_halo"] = int(parallel["flow_halo"])
+    elif h_local:
+        kw["flow_halo"] = min(46, h_local)
+    cfg = SpatialFlagshipConfig(**kw)
+    return SpatialPipeline(
+        mesh, ctx, cfg, sp.provider,
+        update_interval=sp.update_interval,
+        reset_interval=sp.reset_interval,
+    )
+
+
 def build_system(
     source_cfg: dict,
     modules_cfg: list[dict],
@@ -211,6 +345,7 @@ def build_system(
             host_modules.append(m)
         elif m is not None:
             modules.append(m)
+    _warn_warp_bound(modules)
 
     ctx = PipelineContext(
         height=h,
@@ -218,12 +353,32 @@ def build_system(
         q=np.asarray(source.get_camera_intrinsics().q, np.float32),
         grayscale=grayscale,
     )
-    pipeline = Pipeline(ctx, modules)
 
     if parallel is not None:
         mode = parallel.get("mode", "multiseq")
-        if mode != "multiseq":
+        if mode not in ("multiseq", "spatial"):
             raise ValueError(f"unknown parallel mode '{mode}'")
+        if mode == "spatial":
+            # Height-sharded single-frame LATENCY mode: the flagship chain
+            # itself runs cooperatively over the mesh
+            # (parallel/spatial_flagship.py).  The standard System loop
+            # drives it through the Pipeline-compatible facade, so timing,
+            # watchdog, recovery, checkpointing, and host modules all work.
+            spatial = _build_spatial_pipeline(
+                parallel, ctx, modules, source_cfg
+            )
+            return System(
+                source,
+                spatial,
+                host_modules,
+                timing=timing,
+                image_sink=image_sink,
+                max_frames=max_frames,
+                max_in_flight=max_in_flight,
+                extra_fetch_keys=extra_fetch_keys,
+                **system_kwargs,
+            )
+        pipeline = Pipeline(ctx, modules)
         if "multihost" in parallel:
             # DCN across hosts; afterwards jax.devices() spans the fleet
             # and the data mesh below covers it (SURVEY §5.8).
@@ -278,6 +433,7 @@ def build_system(
             **ms_kwargs,
         )
 
+    pipeline = Pipeline(ctx, modules)
     return System(
         source,
         pipeline,

@@ -220,6 +220,33 @@ def dense_flow(
     return flow[:h, :w]
 
 
+def flow_bound(
+    levels: int = 4,
+    search: int = 4,
+    refine: int = 2,
+    base_level: int = 1,
+    fine_refine: int = 1,
+) -> int:
+    """Static bound on |flow| components at FULL resolution.
+
+    Mirrors the per-level accumulation in `dense_flow` (42 px for the
+    defaults).  Consumers that bound warps (e.g. the 'select' temporal
+    vote's max_warp_y) drop displacements beyond their bound; compare
+    against this to know whether that can happen (ADVICE r3).
+    """
+    bound = 0
+    for lvl in range(levels - 1, base_level - 1, -1):
+        if lvl != levels - 1:
+            bound *= 2
+        if lvl == levels - 1:
+            bound += search
+        elif lvl == base_level:
+            bound += fine_refine
+        else:
+            bound += refine
+    return bound << base_level
+
+
 def to_s10_5(flow: jnp.ndarray) -> jnp.ndarray:
     """float flow -> int16 S10.5 fixed point (x32), the NVOF output format."""
     return jnp.clip(jnp.round(flow * 32.0), -32768, 32767).astype(jnp.int16)

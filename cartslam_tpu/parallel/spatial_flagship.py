@@ -25,6 +25,16 @@ Seam handling per stage:
   * per-label reductions (stats, votes) count core rows once, psum'd.
 
 Halos must fit in one neighbor shard: halo <= H / n_devices.
+
+Flagship semantics (round 4): the superpixel reset / initial-iteration
+cadence runs as step VARIANTS exactly like the production Pipeline
+(src/modules/superpixels.cu:93-113), depth uses the source's calibration
+Q (replicated runtime param), and the histogram-peak parameter-provider
+cadence (src/modules/planeseg/planeseg.cu:379-458) is driven by the
+standard host_update machinery through `SpatialPipeline`, a
+Pipeline-compatible facade that lets `runtime.System` (and therefore the
+JSON config / CLI, src/cartconfig.cpp:230-277) drive the spatial mode
+directly.
 """
 
 from __future__ import annotations
@@ -86,16 +96,26 @@ class SpatialFlagshipConfig(NamedTuple):
     smoothing_iterations: int = 1
     block_size: int = 12
     iterations: int = 8
+    initial_iterations: int = 24
+    reset_iterations: int = 64
     image_weight: float = 1.5
     disparity_weight: float = 1.0
     compactness_weight: float = 0.1
     direct_clique_cost: float = 0.5
     diagonal_clique_cost: float = 0.5 / np.sqrt(2.0)
     temporal_distance: int = 3
-    max_warp_y: int = 16
+    # Matches the production pipeline / registry default (the r3 spatial
+    # mode ran 16, a silent divergence from the benched chain).
+    max_warp_y: int = 32
     max_warp_x: int = 64
+    flow_levels: int = 4
+    flow_search: int = 4
+    flow_refine: int = 2
+    flow_base_level: int = 1
     sgm_halo: int = 24
-    flow_halo: int = 40
+    # Covers dense_flow's static vertical reach (42 px for the default
+    # 4-level pyramid after the base_level upsample) plus window margin.
+    flow_halo: int = 46
     axis: str = "spatial"
 
 
@@ -113,6 +133,7 @@ class SpatialFlagship:
             (config.sgm_halo, "sgm_halo"),
             (config.flow_halo, "flow_halo"),
             (config.iterations, "iterations"),
+            (config.initial_iterations, "initial_iterations"),
             (config.max_warp_y, "max_warp_y"),
         ):
             if halo > self.h_local:
@@ -121,19 +142,27 @@ class SpatialFlagship:
                 )
         bx = -(-config.width // config.block_size)
         by = -(-config.height // config.block_size)
-        self.num_labels = bx * by + 1
+        self.max_label_id = bx * by
+        self.num_labels = self.max_label_id + 1
         self.shard = NamedSharding(mesh, P(config.axis))
         self.repl = NamedSharding(mesh, P())
+        self._steps: dict[str, callable] = {}
+        # Computed eagerly, once: the reset variant re-reads this inside
+        # the traced step (a host constant, never a tracer).
+        labels, _ = spops.block_init_labels(
+            config.height, config.width, config.block_size, config.block_size
+        )
+        self._init_labels = np.asarray(labels)
 
     # ---------------------------------------------------------------- state
 
+    def _block_labels(self):
+        return self._init_labels
+
     def init_state(self):
         c = self.cfg
-        labels, _ = spops.block_init_labels(
-            c.height, c.width, c.block_size, c.block_size
-        )
         return {
-            "labels": np.asarray(labels),
+            "labels": self._block_labels(),
             "prev_gray": np.zeros((c.height, c.width), np.uint8),
             "warp_votes": np.full(
                 (c.temporal_distance, c.height, c.width),
@@ -144,12 +173,27 @@ class SpatialFlagship:
             ),
         }
 
-    def init_params(self, ranges=((3, 40), (-6, 3))):
-        return {"ranges": np.asarray(ranges, np.int32)}
+    def init_params(self, ranges=((3, 40), (-6, 3)), q=None):
+        if q is None:
+            q = np.eye(4, dtype=np.float32)
+        return {
+            "ranges": np.asarray(ranges, np.int32),
+            "q": np.asarray(q, np.float32),
+        }
+
+    def variant(self, frame_id: int) -> str:
+        """Superpixel iteration cadence (src/modules/superpixels.cu:93-113),
+        identical to models.SuperPixelModule.variant."""
+        c = self.cfg
+        if frame_id == 1:
+            return "initial"
+        if frame_id % c.reset_iterations == 0:
+            return "reset"
+        return "normal"
 
     # ----------------------------------------------------------------- step
 
-    def _local_step(self, state, frame, params):
+    def _local_step(self, variant, state, frame, params):
         c = self.cfg
         ax = c.axis
         idx = jax.lax.axis_index(ax)
@@ -171,12 +215,16 @@ class SpatialFlagship:
             p1=c.sgm_p1, p2=c.sgm_p2, uniqueness=c.uniqueness,
         )
         if c.smoothing_radius > 0:
+            # maxDisparity bound = image width — the production module
+            # reproduces the reference's quirky ctor bound
+            # (disparity.hpp:28-29); the r3 spatial mode used width*16, a
+            # divergence the pipeline-reference parity test caught.
             disp_ext = dsp.interpolate(
                 disp_ext,
                 radius=c.smoothing_radius,
                 iterations=c.smoothing_iterations,
                 min_disparity=c.min_disparity * 16,
-                max_disparity=c.width * 16,
+                max_disparity=c.width,
             )
         disparity = disp_ext[hs:-hs]
 
@@ -197,23 +245,38 @@ class SpatialFlagship:
         )
         hist = jax.lax.psum(hist, ax)
 
-        # --- depth (pointwise, global rows) ------------------------------
+        # --- depth (pointwise, global rows, calibration Q) ---------------
         depth = depth_ops.reproject_to_3d(
-            disparity, jnp.asarray(np.eye(4, dtype=np.float32)), row_offset=row0
+            disparity, params["q"], row_offset=row0
         )
 
         # --- optical flow (apron covers the pyramid's vertical reach) ----
         fh = c.flow_halo
         cur_ext = exchange_row_halo(gray_l, fh, fh, ax)
         prev_ext = exchange_row_halo(state["prev_gray"], fh, fh, ax)
-        flow_ext = optflow.dense_flow(cur_ext, prev_ext)
+        flow_ext = optflow.dense_flow(
+            cur_ext, prev_ext,
+            levels=c.flow_levels, search=c.flow_search,
+            refine=c.flow_refine, base_level=c.flow_base_level,
+        )
         flow = optflow.to_s10_5(flow_ext[fh:-fh])
         flow = jnp.where(frame_id > 1, flow, jnp.zeros_like(flow))
 
         # --- contour relaxation (iterations-row halo, psum'd stats) ------
-        it = c.iterations
+        it = (
+            c.initial_iterations
+            if variant in ("initial", "reset")
+            else c.iterations
+        )
+        labels0 = state["labels"]
+        if variant == "reset":
+            # The reference re-initializes the label grid every
+            # resetIterations frames (superpixels.cu:105-113); the global
+            # block grid restricted to this shard's rows.
+            full = jnp.asarray(self._block_labels())
+            labels0 = jax.lax.dynamic_slice_in_dim(full, row0, self.h_local, 0)
         ycrcb = color.bgr_to_ycrcb(left).astype(jnp.float32)
-        lab_ext = exchange_row_halo(state["labels"], it, it, ax, fill=-1)
+        lab_ext = exchange_row_halo(labels0, it, it, ax, fill=-1)
         deriv_f = deriv.astype(jnp.float32)
         deriv_ext_f = exchange_row_halo(deriv_f, it, it, ax)
         ycrcb_ext = exchange_row_halo(ycrcb, it, it, ax)
@@ -297,12 +360,15 @@ class SpatialFlagship:
             "depth": depth,
             "optflow": flow,
             "superpixels": labels,
+            "superpixels_max_label": jnp.int32(self.max_label_id),
             "planes": planes,
             "planes_unsmoothed": pixel_planes,
         }
         return new_state, outputs
 
-    def make_step(self):
+    def make_step(self, variant: str = "normal"):
+        if variant in self._steps:
+            return self._steps[variant]
         c = self.cfg
         specs_state = {
             "labels": P(c.axis), "prev_gray": P(c.axis),
@@ -317,17 +383,110 @@ class SpatialFlagship:
                 "disparity": P(c.axis), "disparity_derivative": P(c.axis),
                 "disparity_derivative_histogram": P(), "depth": P(c.axis),
                 "optflow": P(c.axis), "superpixels": P(c.axis),
+                "superpixels_max_label": P(),
                 "planes": P(c.axis), "planes_unsmoothed": P(c.axis),
             },
         )
         fn = jax.shard_map(
-            self._local_step,
+            functools.partial(self._local_step, variant),
             mesh=self.mesh,
-            in_specs=(specs_state, specs_frame, {"ranges": P()}),
+            in_specs=(specs_state, specs_frame,
+                      {"ranges": P(), "q": P()}),
             out_specs=out_specs,
             # The ops use unvarying scan inits (SGM path carries, tallies);
             # the varying-manual-axes checker rejects those inside manual
             # regions even though the program is correct.
             check_vma=False,
         )
-        return jax.jit(fn, donate_argnums=(0,))
+        step = jax.jit(fn, donate_argnums=(0,))
+        self._steps[variant] = step
+        return step
+
+
+class SpatialPipeline:
+    """Pipeline-compatible facade over SpatialFlagship.
+
+    Implements the subset of `runtime.pipeline.Pipeline`'s surface that
+    `runtime.System` drives (ctx / init_state / init_host_params /
+    variant / jitted_step / modules / host_fetch_keys), so the standard
+    System loop — prefetch, bounded in-flight queue, watchdog, snapshot
+    recovery, checkpointing, host modules, timing — runs the
+    height-sharded step unchanged.  The provider cadence reuses the REAL
+    SuperPixelDisparityPlaneSegmentationModule host machinery (running
+    histogram, peak provider, `ranges` host param), so spatial and
+    single-chip modes share one implementation of the reference's
+    updatePlaneParameters loop (planeseg.cu:379-458).
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        ctx,
+        cfg: SpatialFlagshipConfig,
+        provider,
+        update_interval: int = 30,
+        reset_interval: int = 10,
+    ):
+        from ..models.sp_planeseg import (
+            SuperPixelDisparityPlaneSegmentationModule,
+        )
+
+        self.ctx = ctx
+        self.flagship = SpatialFlagship(mesh, cfg)
+        self._sp_host = SuperPixelDisparityPlaneSegmentationModule(
+            provider,
+            num_labels=self.flagship.num_labels,
+            update_interval=update_interval,
+            reset_interval=reset_interval,
+        )
+        self.modules = [self._sp_host]
+
+    # ------------------------------------------------- Pipeline interface
+
+    def host_fetch_keys(self):
+        keys = set()
+        for m in self.modules:
+            keys.update(m.host_fetch_keys())
+        return keys
+
+    def init_state(self):
+        return self.flagship.init_state()
+
+    def init_host_params(self):
+        params = {m.name: m.initial_host_params(self.ctx) for m in self.modules}
+        params["_spatial"] = {"q": np.asarray(self.ctx.q, np.float32)}
+        return params
+
+    def variant(self, frame_id: int) -> str:
+        return self.flagship.variant(frame_id)
+
+    @functools.lru_cache(maxsize=8)
+    def jitted_step(self, variant: str, fetch_keys: frozenset):
+        raw = self.flagship.make_step(variant)
+        sp_name = self._sp_host.name
+
+        def step(state, frame, host_params):
+            params = {
+                "ranges": jnp.asarray(
+                    host_params[sp_name]["ranges"], jnp.int32
+                ),
+                "q": host_params["_spatial"]["q"],
+            }
+            new_state, out = raw(state, frame, params)
+            return new_state, {k: v for k, v in out.items() if k in fetch_keys}
+
+        return step
+
+    def run_step_instrumented(self, state, frame, host_params, variant,
+                              fetch_keys=None):
+        """Single-row timing: the spatial step is one fused program, so
+        per-module attribution does not exist; emit one 'spatial_step'
+        row instead (use jax.profiler traces for op-level attribution)."""
+        import time as _time
+
+        step = self.jitted_step(variant, frozenset(fetch_keys or ()))
+        t0 = _time.perf_counter()
+        new_state, outputs = step(state, frame, host_params)
+        jax.block_until_ready(outputs)
+        t1 = _time.perf_counter()
+        return new_state, outputs, [("spatial_step", t0, t0, t1)]
