@@ -155,6 +155,126 @@ def vote_tally_pallas(
     return out[:, :num_labels].T
 
 
+def _make_moment_kernel(blk, nhi, nlo, nb, nrows):
+    shift = nlo.bit_length() - 1
+
+    def kernel(lab_ref, d_ref, out_ref, acc):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc[...] = jnp.zeros((nrows, nlo), jnp.float32)
+
+        lab = lab_ref[...]  # [1, blk] int32
+        hi = lab >> shift
+        lo = lab & (nlo - 1)
+        sub_lo = jax.lax.broadcasted_iota(jnp.int32, (nlo, 1), 0)
+        ohlo_t = (lo == sub_lo).astype(jnp.bfloat16)  # [nlo, blk]
+
+        # Byte planes from the 8 channel rows, built entirely in VMEM:
+        # 7 plane types (3 sum bytes, 4 square bytes) x 8 channels, each
+        # an exact-in-bf16 value in [0, 255].
+        d = d_ref[...]  # [8, blk] int32, channel on sublane
+        vi = d + 32768
+        sq = d * d
+        planes = [
+            (vi >> 0) & 255, (vi >> 8) & 255, (vi >> 16) & 255,
+            (sq >> 0) & 255, (sq >> 8) & 255, (sq >> 16) & 255,
+            ((sq >> 24) & 255).astype(jnp.int32),
+        ]
+        p56 = jnp.concatenate(planes, axis=0)  # [56, blk] int32
+
+        # kr rows h*56 + t*8 + ch hold plane (t, ch) masked to hi == h;
+        # the trailing 8 rows are the hi one-hots (per-label counts).
+        pieces = [
+            jnp.where(hi == h, p56, 0) for h in range(nhi)
+        ] + [(hi == h).astype(jnp.int32) for h in range(8)]
+        kr_t = jnp.concatenate(pieces, axis=0).astype(jnp.bfloat16)
+        acc[...] += jax.lax.dot_general(
+            kr_t, ohlo_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(i == nb - 1)
+        def _():
+            out_ref[...] = acc[...]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_labels", "block", "interpret")
+)
+def moment_tally_pallas(
+    labels: jnp.ndarray,
+    data: jnp.ndarray,
+    num_labels: int,
+    *,
+    block: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-label count/sum/sum-sq table [1 + 2C, L] from channel planes.
+
+    labels int [B]; data [C, B] integer-valued with |v| <= 32767, C <= 8.
+    The drop-in TPU form of ops/superpixels.init_stats's matmul path: the
+    byte-plane decomposition, Khatri-Rao mask, and count rows are all
+    built in VMEM from the raw channel rows, so HBM sees only [C, B] int32
+    and the labels once — no [B, 50] operand, no lane-padded [B, 1]
+    labels column (each of which cost more HBM than the whole tally).
+    """
+    c, b = data.shape
+    assert c <= 8, "moment kernel supports up to 8 channels"
+    nlo = 128
+    while nlo < 1024 and nlo * nlo < (1 + 7 * c) * num_labels:
+        nlo *= 2
+    nhi = -(-num_labels // nlo)
+    nb = -(-b // block)
+
+    lab_p = jnp.pad(
+        labels.astype(jnp.int32).reshape(-1), (0, nb * block - b),
+        constant_values=nhi * nlo,
+    ).reshape(1, nb * block)
+    d_p = jnp.pad(
+        data.astype(jnp.int32), ((0, 8 - c), (0, nb * block - b))
+    )
+
+    nrows = 56 * nhi + 8
+    t = pl.pallas_call(
+        _make_moment_kernel(block, nhi, nlo, nb, nrows),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nrows, nlo), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nrows, nlo), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nrows, nlo), jnp.float32)],
+        interpret=interpret,
+    )(lab_p, d_p)
+
+    kr = t[: 56 * nhi].reshape(nhi, 7, 8, nlo)
+    count = t[56 * nhi : 56 * nhi + nhi].reshape(-1)[:num_labels]
+    out = [count]
+    for ch in range(c):
+        s = sum(
+            kr[:, bb, ch, :].reshape(-1)[:num_labels] * float(256 ** bb)
+            for bb in range(3)
+        )
+        out.append(s - 32768.0 * count)
+    for ch in range(c):
+        out.append(
+            sum(
+                kr[:, 3 + bb, ch, :].reshape(-1)[:num_labels]
+                * float(256 ** bb)
+                for bb in range(4)
+            )
+        )
+    return jnp.stack(out, axis=0)
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_labels", "block", "interpret")
 )

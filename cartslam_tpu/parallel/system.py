@@ -24,7 +24,6 @@ last known-good state snapshot, and failed round ids are recorded in
 
 from __future__ import annotations
 
-import concurrent.futures
 import functools
 import logging
 import traceback
@@ -35,6 +34,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..runtime.module import HostModule
+from ..utils.watchdog import run_with_timeout
 from ..runtime.pipeline import Pipeline
 from ..runtime.system import DataNotAvailableException
 from ..runtime.timing import TimingWriter
@@ -104,9 +104,6 @@ class MultiSeqSystem:
             | {d.key for hm in self.host_modules for d in hm.requires()}
             | set(extra_fetch_keys)
         )
-        self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
-            max_workers=4, thread_name_prefix="cart-mseq-fetch"
-        )
 
     def insert_global_data(self, key: str, value: Any):
         self.global_data[key] = value
@@ -156,12 +153,14 @@ class MultiSeqSystem:
         return {k: np.stack([f[k] for f in frames], axis=0) for k in keys}
 
     def _fetch_with_timeout(self, outputs) -> dict[str, np.ndarray]:
-        fut = self._fetch_pool.submit(
-            lambda: {k: np.asarray(v) for k, v in outputs.items()}
-        )
+        # Fresh daemon thread per fetch (utils/watchdog.py): a hung
+        # transfer cannot strand a shared pool worker.
         try:
-            return fut.result(timeout=self.data_timeout)
-        except concurrent.futures.TimeoutError:
+            return run_with_timeout(
+                lambda: {k: np.asarray(v) for k, v in outputs.items()},
+                self.data_timeout,
+            )
+        except TimeoutError:
             raise DataNotAvailableException(
                 f"round results not available within {self.data_timeout}s"
             ) from None

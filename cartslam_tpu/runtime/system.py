@@ -18,7 +18,6 @@ Failure semantics follow the reference:
 from __future__ import annotations
 
 import collections
-import concurrent.futures
 import logging
 import queue
 import threading
@@ -31,6 +30,7 @@ import numpy as np
 from .module import HostModule
 from .pipeline import Pipeline
 from .timing import TimingWriter
+from ..utils.watchdog import run_with_timeout
 
 log = logging.getLogger("cart.system")
 
@@ -113,11 +113,6 @@ class System:
 
         self._prefetch_queue: queue.Queue = queue.Queue(maxsize=prefetch_depth)
         self._prefetch_error: BaseException | None = None
-        # Several workers so one hung transfer doesn't head-of-line block
-        # the later frames' fetches after its watchdog fires.
-        self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
-            max_workers=4, thread_name_prefix="cart-fetch"
-        )
 
     # ------------------------------------------------------------ global data
 
@@ -177,13 +172,18 @@ class System:
     # --------------------------------------------------------------- fetching
 
     def _fetch_with_timeout(self, outputs) -> dict[str, np.ndarray]:
-        """Materialize device outputs on host, bounded by the data watchdog."""
-        fut = self._fetch_pool.submit(
-            lambda: {k: np.asarray(v) for k, v in outputs.items()}
-        )
+        """Materialize device outputs on host, bounded by the data watchdog.
+
+        Each fetch runs on a fresh daemon thread (utils/watchdog.py): a
+        hung transfer is abandoned, never stranding a shared pool worker
+        that later healthy fetches would queue behind.
+        """
         try:
-            return fut.result(timeout=self.data_timeout)
-        except concurrent.futures.TimeoutError:
+            return run_with_timeout(
+                lambda: {k: np.asarray(v) for k, v in outputs.items()},
+                self.data_timeout,
+            )
+        except TimeoutError:
             raise DataNotAvailableException(
                 f"frame results not available within {self.data_timeout}s"
             ) from None

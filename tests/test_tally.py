@@ -44,6 +44,64 @@ def test_label_tally_edge_max_label():
     assert np.array_equal(_ref_tally(lab, vals, L), got)
 
 
+def test_moment_tally_pallas_interpret_exact():
+    """moment_tally_pallas == the scatter-path init_stats table."""
+    from cartslam_tpu.ops import superpixels as spops
+    from cartslam_tpu.ops.pallas.tally import moment_tally_pallas
+
+    rng = np.random.RandomState(5)
+    for B, L, C in [(65536, 3318, 7), (10000, 500, 3), (4096, 512, 8)]:
+        h = 64
+        w = B // h
+        lab = rng.randint(0, L, (h, w)).astype(np.int32)
+        # int16-range values, including negatives (derivatives/coords).
+        dat = rng.randint(-3000, 3000, (C, h, w)).astype(np.float32)
+        flat = lab.reshape(-1)
+        dflat = dat.reshape(C, -1).astype(np.float64)
+        ref = np.zeros((1 + 2 * C, L), np.float64)
+        np.add.at(ref[0], flat, 1)
+        for ch in range(C):
+            np.add.at(ref[1 + ch], flat, dflat[ch])
+            np.add.at(ref[1 + C + ch], flat, dflat[ch] ** 2)
+        got = np.asarray(
+            moment_tally_pallas(
+                jnp.asarray(lab).reshape(-1),
+                jnp.asarray(dat).reshape(C, -1),
+                L,
+                interpret=True,
+            ),
+            np.float64,
+        )
+        # count + sums are exact; sum-of-squares rows round once in the
+        # f32 byte-plane combine (same precision as the XLA matmul path).
+        np.testing.assert_array_equal(ref[: 1 + C], got[: 1 + C])
+        np.testing.assert_allclose(
+            ref[1 + C :], got[1 + C :], rtol=2e-7, atol=0
+        )
+
+
+def test_moment_tally_pallas_negative_label_drop():
+    """OOB labels remapped to num_labels must not contribute."""
+    from cartslam_tpu.ops.pallas.tally import moment_tally_pallas
+
+    rng = np.random.RandomState(6)
+    B, L, C = 4096, 100, 2
+    lab = rng.randint(0, L + 1, B).astype(np.int32)  # L = dropped sentinel
+    dat = rng.randint(-256, 256, (C, B)).astype(np.float32)
+    got = np.asarray(
+        moment_tally_pallas(
+            jnp.asarray(lab), jnp.asarray(dat), L, interpret=True
+        )
+    )
+    keep = lab < L
+    ref = np.zeros((1 + 2 * C, L), np.float64)
+    np.add.at(ref[0], lab[keep], 1)
+    for ch in range(C):
+        np.add.at(ref[1 + ch], lab[keep], dat[ch][keep])
+        np.add.at(ref[1 + C + ch], lab[keep], dat[ch][keep] ** 2)
+    np.testing.assert_array_equal(ref, got.astype(np.float64))
+
+
 def test_table_gather_exact():
     rng = np.random.RandomState(3)
     for L in [3, 64, 500, 3328]:
