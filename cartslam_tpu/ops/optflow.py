@@ -147,11 +147,10 @@ def _search_level_scan(cur, prev_warped, radius: int, win: int):
             jnp.where(take, dy.astype(jnp.float32), best_dy),
         ), None
 
-    init = (
-        jnp.full(cur.shape, jnp.inf, jnp.float32),
-        jnp.zeros(cur.shape, jnp.float32),
-        jnp.zeros(cur.shape, jnp.float32),
-    )
+    # cur*0 (not literal zeros) so the init inherits cur's varying-
+    # manual-axes type under shard_map(check_vma=True).
+    zero = cur * 0
+    init = (zero + jnp.inf, zero, zero)
     (_, best_dx, best_dy), _ = jax.lax.scan(body, init, offs)
     return best_dx, best_dy
 

@@ -110,7 +110,10 @@ def _aggregate_scan(cost_sdr: jnp.ndarray, p1: int, p2: int) -> jnp.ndarray:
         new = c.astype(jnp.int32) + best - m
         return new, new.astype(jnp.int16)
 
-    init = jnp.zeros(cost_sdr.shape[1:], jnp.int32)
+    # Derive the zero init from the input so it inherits the input's
+    # varying-manual-axes type: under shard_map(check_vma=True) a literal
+    # zeros init is rejected as unvarying against the varying carry.
+    init = cost_sdr[0].astype(jnp.int32) * 0
     # unroll amortizes XLA's per-iteration while-loop overhead over the
     # ~1.2k sequential steps of the horizontal paths.
     _, out = jax.lax.scan(step, init, cost_sdr, unroll=8)

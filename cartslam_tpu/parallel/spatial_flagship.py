@@ -393,10 +393,11 @@ class SpatialFlagship:
             in_specs=(specs_state, specs_frame,
                       {"ranges": P(), "q": P()}),
             out_specs=out_specs,
-            # The ops use unvarying scan inits (SGM path carries, tallies);
-            # the varying-manual-axes checker rejects those inside manual
-            # regions even though the program is correct.
-            check_vma=False,
+            # r4: the scan inits in stereo/_aggregate_scan and
+            # optflow/_search_level_scan now inherit their inputs' varying
+            # type, so the varying-manual-axes checker guards the whole
+            # step (VERDICT r3 item 8).
+            check_vma=True,
         )
         step = jax.jit(fn, donate_argnums=(0,))
         self._steps[variant] = step
