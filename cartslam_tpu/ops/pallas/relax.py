@@ -125,6 +125,9 @@ def _make_phase_kernel(
             active = boundary
         else:
             active = boundary & ((rows + cols) % num_phases == phase)
+        # OOB pixels (global-edge halo fill under sharding) stay OOB —
+        # matches ops/superpixels.py:phase_update; no-op unsharded.
+        active = active & (labels != _OOB)
 
         stat_rows = [st[k, 1 : 1 + hb] for k in range(nstat)]
         pix_rows = [pix[k] for k in range(nstat)]

@@ -91,12 +91,17 @@ def hamming_cost_volume(
     )
 
 
-def _aggregate_scan(cost_sdr: jnp.ndarray, p1: int, p2: int) -> jnp.ndarray:
-    """SGM path recurrence along axis 0 of [S, R, D] (R = vectorized rest).
+def sgm_scan_step(p1: int, p2: int):
+    """The SGM path recurrence as a `lax.scan` step over [R, D] carries.
 
     L(p,d) = C(p,d) + min(L(p-1,d), L(p-1,d±1)+P1, min_d' L(p-1,d') + P2)
            - min_d' L(p-1,d')          (libSGM-style normalization keeps
                                         values bounded by C_max + P2)
+
+    Exposed so height-sharded aggregation (parallel/sgm_sharded.py) can
+    continue a sweep from a neighbor shard's final carry: with the true
+    predecessor carry as init, the scan is an exact continuation of the
+    full-frame recurrence.
     """
     big = jnp.int32(1 << 20)
 
@@ -110,6 +115,12 @@ def _aggregate_scan(cost_sdr: jnp.ndarray, p1: int, p2: int) -> jnp.ndarray:
         new = c.astype(jnp.int32) + best - m
         return new, new.astype(jnp.int16)
 
+    return step
+
+
+def _aggregate_scan(cost_sdr: jnp.ndarray, p1: int, p2: int) -> jnp.ndarray:
+    """Path aggregation along axis 0 of [S, R, D] (R = vectorized rest)."""
+    step = sgm_scan_step(p1, p2)
     # Derive the zero init from the input so it inherits the input's
     # varying-manual-axes type: under shard_map(check_vma=True) a literal
     # zeros init is rejected as unvarying against the varying carry.

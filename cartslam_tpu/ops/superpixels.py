@@ -329,6 +329,11 @@ def relax(
                 + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
             ) % num_phases
             active = boundary & (pm == phase)
+        # OOB pixels (global-edge halo fill under sharding) must stay OOB:
+        # a relabeled -1 pixel would present a real neighbor where the
+        # full-frame op sees the image border, corrupting the edge rows
+        # from the second sweep on.  No-op unsharded (labels are never -1).
+        active = active & (labels != _OOB)
 
         # Label costs are re-derived per pixel from the moment rows
         # (identical values; a handful of VPU logs beats gathering or

@@ -11,11 +11,12 @@ with `ppermute` row halos standing in for the tile aprons and `psum` for
 the global reductions (label statistics, vote tallies, histograms).
 
 Seam handling per stage:
-  * SGM: horizontal sweeps are row-local (exact); vertical sweeps warm up
-    through a `sgm_halo`-row apron (path influence decays geometrically
-    with P1/P2, so a few dozen rows make seams numerically invisible).
-  * interpolate / derivative: 1- and 2-row edge-duplicated halos — exact
-    (edge duplication IS the ops' clamp convention).
+  * SGM: BIT-EXACT for any shard count (r4) — horizontal sweeps are
+    row-local and the vertical sweeps run a split-scan carry hand-off
+    chain (parallel/sgm_sharded.py) instead of the r3 warmup apron.
+  * interpolate / derivative: edge-duplicated halos, one exchange per
+    smoothing iteration — exact (edge duplication IS the ops' clamp
+    convention).
   * optical flow: an apron covering the pyramid's total vertical reach.
   * contour relaxation: `iterations`-row halos (label influence moves one
     row per sweep) + psum'd label moments — exact in 'frame' stats mode;
@@ -48,40 +49,11 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import color, depth as depth_ops, derivative as dops
-from ..ops import disparity as dsp, optflow, planeseg as pops, stereo
+from ..ops import disparity as dsp, optflow, planeseg as pops
 from ..ops import superpixels as spops
 from ..ops.tally import label_tally, table_gather
-
-
-def exchange_row_halo(x, up: int, down: int, axis_name: str, fill="edge"):
-    """Extend a row shard [H_local, ...] with neighbor rows over the mesh.
-
-    fill: 'edge' duplicates the border row at the global image edges (the
-    stencil ops' clamp convention); a scalar fills them with a constant.
-    """
-    idx = jax.lax.axis_index(axis_name)
-    n = jax.lax.axis_size(axis_name)
-    parts = []
-    if up:
-        from_above = jax.lax.ppermute(
-            x[-up:], axis_name, [(i, (i + 1) % n) for i in range(n)]
-        )
-        if fill == "edge":
-            edge = jnp.repeat(x[:1], up, axis=0)
-        else:
-            edge = jnp.full((up, *x.shape[1:]), fill, x.dtype)
-        parts.append(jnp.where(idx == 0, edge, from_above))
-    parts.append(x)
-    if down:
-        from_below = jax.lax.ppermute(
-            x[:down], axis_name, [(i, (i - 1) % n) for i in range(n)]
-        )
-        if fill == "edge":
-            edge = jnp.repeat(x[-1:], down, axis=0)
-        else:
-            edge = jnp.full((down, *x.shape[1:]), fill, x.dtype)
-        parts.append(jnp.where(idx == n - 1, edge, from_below))
-    return jnp.concatenate(parts, axis=0)
+from .halo import exchange_row_halo
+from .sgm_sharded import sgm_disparity_sharded
 
 
 class SpatialFlagshipConfig(NamedTuple):
@@ -112,6 +84,8 @@ class SpatialFlagshipConfig(NamedTuple):
     flow_search: int = 4
     flow_refine: int = 2
     flow_base_level: int = 1
+    # Unused since r4 (exact split-scan seams, parallel/sgm_sharded.py);
+    # kept so existing configs/kwargs keep loading.
     sgm_halo: int = 24
     # Covers dense_flow's static vertical reach (42 px for the default
     # 4-level pyramid after the base_level upsample) plus window margin.
@@ -130,7 +104,7 @@ class SpatialFlagship:
             raise ValueError("height must divide the spatial axis size")
         self.h_local = config.height // self.n
         for halo, name in (
-            (config.sgm_halo, "sgm_halo"),
+            (3, "census_halo"),  # 9x7 census window of the exact SGM
             (config.flow_halo, "flow_halo"),
             (config.iterations, "iterations"),
             (config.initial_iterations, "initial_iterations"),
@@ -204,29 +178,33 @@ class SpatialFlagship:
         gray_l = color.bgr_to_gray(left)
         gray_r = color.bgr_to_gray(right)
 
-        # --- SGM + interpolation (sgm_halo apron; vertical-sweep warmup) --
-        hs = c.sgm_halo
-        gl_ext = exchange_row_halo(gray_l, hs, hs, ax)
-        gr_ext = exchange_row_halo(gray_r, hs, hs, ax)
-        disp_ext = stereo.sgm_disparity(
-            gl_ext, gr_ext,
+        # --- SGM (exact split-scan vertical seams) + interpolation -------
+        disparity = sgm_disparity_sharded(
+            gray_l, gray_r, ax,
             min_disparity=c.min_disparity,
             num_disparities=c.num_disparities,
             p1=c.sgm_p1, p2=c.sgm_p2, uniqueness=c.uniqueness,
         )
         if c.smoothing_radius > 0:
+            # One exchange PER iteration: the unsharded op re-clamps its
+            # edge padding to the current border row every iteration, so a
+            # single (r-1)*iters halo would drift at the global edges for
+            # iterations > 1.  Reach per iteration is radius-1 rows.
             # maxDisparity bound = image width — the production module
             # reproduces the reference's quirky ctor bound
             # (disparity.hpp:28-29); the r3 spatial mode used width*16, a
             # divergence the pipeline-reference parity test caught.
-            disp_ext = dsp.interpolate(
-                disp_ext,
-                radius=c.smoothing_radius,
-                iterations=c.smoothing_iterations,
-                min_disparity=c.min_disparity * 16,
-                max_disparity=c.width,
-            )
-        disparity = disp_ext[hs:-hs]
+            hr = c.smoothing_radius - 1
+            for _ in range(c.smoothing_iterations):
+                d_ext = exchange_row_halo(disparity, hr, hr, ax)
+                d_ext = dsp.interpolate(
+                    d_ext,
+                    radius=c.smoothing_radius,
+                    iterations=1,
+                    min_disparity=c.min_disparity * 16,
+                    max_disparity=c.width,
+                )
+                disparity = d_ext[hr:-hr] if hr else d_ext
 
         # --- derivative + histogram (2-row edge-dup halo; exact) ---------
         d_ext = exchange_row_halo(disparity, 2, 2, ax)
