@@ -287,6 +287,9 @@ def _build_spatial_pipeline(parallel: dict, ctx, modules, source_cfg):
         compactness_weight=sup.compactness_weight,
         direct_clique_cost=sup.direct_clique_cost,
         diagonal_clique_cost=sup.diagonal_clique_cost,
+        progressive_compactness_cost=sup.progressive_compactness_cost,
+        relax_phases=sup.relax_phases,
+        stats_refresh=sup.stats_refresh,
         temporal_distance=sp.distance,
         max_warp_y=min(sp.max_warp_y, h_local) if h_local else sp.max_warp_y,
         max_warp_x=sp.max_warp_x,

@@ -69,7 +69,7 @@ def _make_phase_kernel(
             )
         return out
 
-    def kernel(labp, labc, labn, stp, stc, stn, pix, out_lab, out_stat):
+    def kernel(row0, labp, labc, labn, stp, stc, stn, pix, out_lab, out_stat):
         i = pl.program_id(0)
         # Assembled [hb+2, W] label window and [nstat, hb+2, W] stat window
         # from single-row halo arrays (pre-sliced per band by the caller;
@@ -80,9 +80,14 @@ def _make_phase_kernel(
             [stp[0][:, None, :], stc[...], stn[0][:, None, :]], axis=1
         )
 
-        gr0 = i * hb  # global row of the band's first row
+        gr0 = i * hb  # array row of the band's first row
         rows = jax.lax.broadcasted_iota(jnp.int32, (hb, w), 0) + gr0
         cols = jax.lax.broadcasted_iota(jnp.int32, (hb, w), 1)
+        # Global image rows (row0 = global row of array row 0; nonzero for
+        # height shards): the progressive factor and the checkerboard
+        # parity are defined on global rows.  OOB masking stays on local
+        # array rows (real_h) — halo fills handle the global borders.
+        grows = rows + row0[0]
 
         def lab_shift(dy, dx):
             """labels[y+dy, x+dx] with OOB -> _OOB (matches _shift)."""
@@ -124,7 +129,7 @@ def _make_phase_kernel(
         if num_phases == 1:
             active = boundary
         else:
-            active = boundary & ((rows + cols) % num_phases == phase)
+            active = boundary & ((grows + cols) % num_phases == phase)
         # OOB pixels (global-edge halo fill under sharding) stay OOB —
         # matches ops/superpixels.py:phase_update; no-op unsharded.
         active = active & (labels != _OOB)
@@ -139,7 +144,7 @@ def _make_phase_kernel(
         prog = None
         if any(p > 0.0 for p in progressive):
             pval = max(progressive)
-            prog = 1.0 + pval * (img_h - rows.astype(jnp.float32)) / float(img_h)
+            prog = 1.0 + pval * (img_h - grows.astype(jnp.float32)) / float(img_h)
 
         best_cost = jnp.full((hb, w), jnp.inf, jnp.float32)
         best_label = labels
@@ -200,13 +205,14 @@ def _make_phase_kernel(
     jax.jit,
     static_argnames=(
         "ch_off", "kinds", "weights", "progressive", "direct_cost",
-        "diagonal_cost", "phase", "num_phases", "interpret",
+        "diagonal_cost", "phase", "num_phases", "global_h", "interpret",
     ),
 )
 def relax_phase_pallas(
     labels: jnp.ndarray,
     stat_img: jnp.ndarray,
     pixel_rows: jnp.ndarray,
+    row0: jnp.ndarray | None = None,
     *,
     ch_off: tuple,
     kinds: tuple,
@@ -216,10 +222,18 @@ def relax_phase_pallas(
     diagonal_cost: float,
     phase: int,
     num_phases: int,
+    global_h: int | None = None,
     interpret: bool = False,
 ):
-    """One fixed-table relaxation sweep.  Returns (new_labels, new_stat)."""
+    """One fixed-table relaxation sweep.  Returns (new_labels, new_stat).
+
+    row0: [1] int32, global image row of `labels` row 0 (0 unsharded —
+    height shards pass their offset so the progressive factor and the
+    phase parity stay global-row-defined); global_h: full image height.
+    """
     h, w = labels.shape
+    if row0 is None:
+        row0 = jnp.zeros((1,), jnp.int32)
     nstat = stat_img.shape[0]
     c_total = (nstat - 1) // 2
     hb = 8
@@ -272,12 +286,17 @@ def relax_phase_pallas(
 
     kern = _make_phase_kernel(
         hb, w, nstat, c_total, ch_off, kinds, weights, progressive,
-        direct_cost, diagonal_cost, phase, num_phases, real_h=h, img_h=h,
+        direct_cost, diagonal_cost, phase, num_phases, real_h=h,
+        img_h=int(global_h) if global_h is not None else h,
+    )
+    row0_spec = pl.BlockSpec(
+        (1,), lambda i: (0,), memory_space=pltpu.SMEM
     )
     new_labels, new_stat = pl.pallas_call(
         kern,
         grid=(nblk,),
         in_specs=[
+            row0_spec,
             lab_halo, lab_spec, lab_halo,
             st_halo, st_spec, st_halo,
             st_spec,  # pixel_rows, current band only
@@ -293,5 +312,6 @@ def relax_phase_pallas(
             jax.ShapeDtypeStruct((nstat, hp, w), jnp.float32),
         ],
         interpret=interpret,
-    )(lab_prev, labels, lab_next, st_prev, stat_img, st_next, pixel_rows)
+    )(row0, lab_prev, labels, lab_next, st_prev, stat_img, st_next,
+      pixel_rows)
     return new_labels[:h], new_stat[:, :h]

@@ -220,12 +220,12 @@ def relax(
     makes the per-label statistics global (psum over the mesh axis),
     `row_offset` shifts the compactness coordinates to global rows, and
     `global_h` is the full image height.  OOB halo labels (< 0) behave
-    exactly like image edges (candidate masking); only 'frame' mode
-    supports sharding.
+    exactly like image edges (candidate masking).  'phase' stats mode
+    re-tallies the (core-row) moments and psums them after every phase,
+    so sharded faithful mode is bit-equal to the unsharded op whenever
+    the halo depth covers iterations * phases rows of label influence.
     """
     h, w = labels.shape
-    if axis_name is not None and stats_refresh != "frame":
-        raise NotImplementedError("sharded relax requires stats_refresh='frame'")
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + row_offset
     coords = jnp.stack([xs, ys], axis=0)  # [2, H, W]
@@ -280,6 +280,7 @@ def relax(
     # excluded from the local tally so the psum counts each pixel once.
     tally_labels = labels
     ht, hb_ = halo_rows
+    core = None
     if ht or hb_:
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         core = (rows_i >= ht) & (rows_i < h - hb_)
@@ -292,10 +293,8 @@ def relax(
     prog_factor = None
     for spec in specs:
         if spec.kind == "compactness" and spec.progressive > 0.0:
-            if axis_name is not None:
-                raise NotImplementedError(
-                    "progressive compactness not supported under sharding"
-                )
+            # `ys` already carries `row_offset`, so the factor is computed
+            # from GLOBAL rows — identical on every shard of a sharded run.
             prog_factor = 1.0 + spec.progressive * (gh - ys) / gh
 
     pixel_rows = jnp.concatenate(
@@ -324,8 +323,12 @@ def relax(
         if num_phases == 1:
             active = boundary
         else:
+            # GLOBAL-row checkerboard parity: under sharding the phase
+            # pattern must be continuous across shard seams, so the row
+            # iota is offset to global coordinates (no-op unsharded).
             pm = (
                 jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+                + jnp.asarray(row_offset, jnp.int32)
                 + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
             ) % num_phases
             active = boundary & (pm == phase)
@@ -388,16 +391,28 @@ def relax(
     if update_stats:
         # Reference-faithful mode: statistics refresh after every sweep, so
         # the stat image must be re-gathered from the re-scattered table.
+        # Sharded: only core rows tally (halo pixels are the neighbor's
+        # core), negative/OOB labels remap to the dropped sentinel index,
+        # and the moments psum to global — so every shard re-gathers
+        # identical statistics after each phase.
+        def retally(lab):
+            tl = lab if core is None else jnp.where(core, lab, _OOB)
+            flat_l = jnp.where(tl < 0, num_labels, tl).reshape(-1)
+            s = (
+                jnp.zeros((nstat, num_labels), jnp.float32)
+                .at[:, flat_l]
+                .add(pixel_rows.reshape(nstat, -1))
+            )
+            if axis_name is not None:
+                s = jax.lax.psum(s, axis_name)
+            return s
+
         def one_iteration(carry, _):
             labels, stats = carry
             for phase in range(phases):
                 stat_img = jnp.take(stats, labels, axis=1)
                 labels, _, _ = phase_update(labels, stat_img, phase, phases)
-                stats = (
-                    jnp.zeros_like(stats)
-                    .at[:, labels.reshape(-1)]
-                    .add(pixel_rows.reshape(nstat, -1))
-                )
+                stats = retally(labels)
             return (labels, stats), None
 
         (labels, _), _ = jax.lax.scan(
@@ -424,8 +439,13 @@ def relax(
                 direct_cost=float(direct_cost),
                 diagonal_cost=float(diagonal_cost),
                 num_phases=phases,
+                global_h=int(gh),
                 interpret=backend == "pallas_interpret",
             )
+            # Global row of the array's first row (traced under sharding):
+            # the kernel needs it for the progressive factor and the
+            # checkerboard parity, both defined on GLOBAL rows.
+            row0 = jnp.asarray(row_offset, jnp.int32).reshape(1)
 
             # Python-unrolled iterations: the kernel calls are compact HLO,
             # and unrolling avoids lax.scan's double-buffered copies of the
@@ -434,7 +454,8 @@ def relax(
             for _ in range(iterations):
                 for phase in range(phases):
                     labels, stat_img = relax_phase_pallas(
-                        labels, stat_img, pixel_rows, phase=phase, **meta
+                        labels, stat_img, pixel_rows, row0,
+                        phase=phase, **meta
                     )
             return labels
 

@@ -18,9 +18,11 @@ Seam handling per stage:
     smoothing iteration — exact (edge duplication IS the ops' clamp
     convention).
   * optical flow: an apron covering the pyramid's total vertical reach.
-  * contour relaxation: `iterations`-row halos (label influence moves one
-    row per sweep) + psum'd label moments — exact in 'frame' stats mode;
-    OOB fills (-1) reproduce image-edge masking at the global borders.
+  * contour relaxation: `iterations * phases`-row halos (label influence
+    moves one row per phase update) + psum'd label moments — exact in
+    both 'frame' and 'phase' stats modes (the latter re-tallies + psums
+    per phase); OOB fills (-1) reproduce image-edge masking at the
+    global borders.
   * temporal vote: `max_warp_y`-row halos of the packed vote stack,
     WARP_INVALID fill at global borders — exact for bounded warps.
   * per-label reductions (stats, votes) count core rows once, psum'd.
@@ -73,8 +75,14 @@ class SpatialFlagshipConfig(NamedTuple):
     image_weight: float = 1.5
     disparity_weight: float = 1.0
     compactness_weight: float = 0.1
+    progressive_compactness_cost: float = 0.0
     direct_clique_cost: float = 0.5
     diagonal_clique_cost: float = 0.5 / np.sqrt(2.0)
+    # Relaxation faithfulness knobs (r4): both now shard exactly —
+    # 'phase' stats re-tally + psum per phase; progressive compactness
+    # and the multi-phase checkerboard use global rows.
+    relax_phases: int = 1
+    stats_refresh: str = "frame"
     temporal_distance: int = 3
     # Matches the production pipeline / registry default (the r3 spatial
     # mode ran 16, a silent divergence from the benched chain).
@@ -103,11 +111,12 @@ class SpatialFlagship:
         if config.height % self.n:
             raise ValueError("height must divide the spatial axis size")
         self.h_local = config.height // self.n
+        ph = max(1, config.relax_phases)
         for halo, name in (
             (3, "census_halo"),  # 9x7 census window of the exact SGM
             (config.flow_halo, "flow_halo"),
-            (config.iterations, "iterations"),
-            (config.initial_iterations, "initial_iterations"),
+            (config.iterations * ph, "iterations*phases"),
+            (config.initial_iterations * ph, "initial_iterations*phases"),
             (config.max_warp_y, "max_warp_y"),
         ):
             if halo > self.h_local:
@@ -246,6 +255,9 @@ class SpatialFlagship:
             if variant in ("initial", "reset")
             else c.iterations
         )
+        # Label influence moves one row per PHASE update; the halo must
+        # cover every update of the call.
+        halo = it * max(1, c.relax_phases)
         labels0 = state["labels"]
         if variant == "reset":
             # The reference re-initializes the label grid every
@@ -254,14 +266,17 @@ class SpatialFlagship:
             full = jnp.asarray(self._block_labels())
             labels0 = jax.lax.dynamic_slice_in_dim(full, row0, self.h_local, 0)
         ycrcb = color.bgr_to_ycrcb(left).astype(jnp.float32)
-        lab_ext = exchange_row_halo(labels0, it, it, ax, fill=-1)
+        lab_ext = exchange_row_halo(labels0, halo, halo, ax, fill=-1)
         deriv_f = deriv.astype(jnp.float32)
-        deriv_ext_f = exchange_row_halo(deriv_f, it, it, ax)
-        ycrcb_ext = exchange_row_halo(ycrcb, it, it, ax)
+        deriv_ext_f = exchange_row_halo(deriv_f, halo, halo, ax)
+        ycrcb_ext = exchange_row_halo(ycrcb, halo, halo, ax)
         specs = [
             spops.FeatureSpec("gaussian", c.disparity_weight, 2),
             spops.FeatureSpec("gaussian", c.image_weight, 3),
-            spops.FeatureSpec("compactness", c.compactness_weight, 2),
+            spops.FeatureSpec(
+                "compactness", c.compactness_weight, 2,
+                c.progressive_compactness_cost,
+            ),
         ]
         labels_ext = spops.relax(
             lab_ext,
@@ -271,13 +286,14 @@ class SpatialFlagship:
             it,
             c.direct_clique_cost,
             c.diagonal_clique_cost,
-            stats_refresh="frame",
+            phases=c.relax_phases,
+            stats_refresh=c.stats_refresh,
             axis_name=ax,
-            row_offset=row0 - it,
+            row_offset=row0 - halo,
             global_h=c.height,
-            halo_rows=(it, it),
+            halo_rows=(halo, halo),
         )
-        labels = labels_ext[it:-it]
+        labels = labels_ext[halo:-halo]
 
         # --- pixel classification + temporal vote ------------------------
         pixel_planes = pops.classify(deriv[..., 0], params["ranges"])

@@ -1,0 +1,99 @@
+"""Sharded contour relaxation vs the unsharded op — bit equality.
+
+Round-4 gap closure: 'phase' (reference-faithful) statistics mode,
+progressive compactness, and multi-phase checkerboard sweeps all now run
+under height sharding.  Each case must be ARRAY-EQUAL to the unsharded op
+for the halo depth iterations * phases (label influence moves one row per
+phase update; 'phase' mode re-tallies + psums the global moments after
+every phase, so shards always relabel from identical statistics).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cartslam_tpu.ops import superpixels as spops
+from cartslam_tpu.parallel.halo import exchange_row_halo
+
+AX = "rows"
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.array(devs[:8]), (AX,))
+
+
+def _setup(h, w, block=6, seed=3, progressive=0.0):
+    rng = np.random.RandomState(seed)
+    labels, max_id = spops.block_init_labels(h, w, block, block)
+    img = rng.randint(0, 255, (h, w, 3)).astype(np.float32)
+    deriv = rng.randint(-30, 30, (h, w, 2)).astype(np.float32)
+    specs = [
+        spops.FeatureSpec("gaussian", 1.0, 2),
+        spops.FeatureSpec("gaussian", 1.5, 3),
+        spops.FeatureSpec("compactness", 0.1, 2, progressive=progressive),
+    ]
+    return np.asarray(labels), deriv, img, specs, max_id + 1
+
+
+def _run_sharded(mesh, labels, deriv, img, specs, num_labels,
+                 iterations, phases, stats_refresh):
+    h, w = labels.shape
+    n = mesh.shape[AX]
+    assert h % n == 0
+    hl = h // n
+    halo = iterations * max(1, phases)
+    assert halo <= hl, "halo must fit in one shard"
+
+    def local(lab, dv, im):
+        row0 = jax.lax.axis_index(AX) * hl
+        lab_ext = exchange_row_halo(lab, halo, halo, AX, fill=-1)
+        dv_ext = exchange_row_halo(dv, halo, halo, AX)
+        im_ext = exchange_row_halo(im, halo, halo, AX)
+        out = spops.relax(
+            lab_ext, [dv_ext, im_ext], specs, num_labels, iterations,
+            0.5, 0.3536, phases=phases, stats_refresh=stats_refresh,
+            axis_name=AX, row_offset=row0 - halo, global_h=h,
+            halo_rows=(halo, halo),
+        )
+        return out[halo:-halo]
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AX), P(AX), P(AX)), out_specs=P(AX),
+    ))
+    return np.asarray(fn(
+        jnp.asarray(labels), jnp.asarray(deriv), jnp.asarray(img)
+    ))
+
+
+@pytest.mark.parametrize(
+    "phases,stats_refresh,progressive",
+    [
+        (1, "phase", 0.0),   # reference-faithful stats under sharding
+        (1, "frame", 1.0),   # progressive compactness under sharding
+        (2, "phase", 1.0),   # multi-phase parity + both of the above
+    ],
+)
+def test_sharded_relax_bit_equal(mesh, phases, stats_refresh, progressive):
+    h, w = 64, 48  # 8 shards of 8 rows
+    iterations = 2
+    labels, deriv, img, specs, num_labels = _setup(
+        h, w, progressive=progressive
+    )
+    ref = np.asarray(spops.relax(
+        jnp.asarray(labels), [jnp.asarray(deriv), jnp.asarray(img)],
+        specs, num_labels, iterations, 0.5, 0.3536,
+        phases=phases, stats_refresh=stats_refresh,
+    ))
+    got = _run_sharded(
+        mesh, labels, deriv, img, specs, num_labels,
+        iterations, phases, stats_refresh,
+    )
+    np.testing.assert_array_equal(got, ref)
+    assert (ref != labels).any()  # the sweep moved boundaries
