@@ -124,7 +124,11 @@ class SuperPixelModule(Module):
             feature_data.append(deps[KEY_DERIVATIVE].astype(jnp.float32))
             specs.append(spops.FeatureSpec("gaussian", self.disparity_weight, 2))
         feature_data.append(img)
-        specs.append(spops.FeatureSpec("gaussian", self.image_weight, img_channels))
+        # YCrCb / grayscale image channels are uint8-valued: the tight
+        # bound nearly halves the moment tally's byte-plane matmul rows.
+        specs.append(spops.FeatureSpec(
+            "gaussian", self.image_weight, img_channels, bounds=(0, 255)
+        ))
         specs.append(
             spops.FeatureSpec(
                 "compactness",

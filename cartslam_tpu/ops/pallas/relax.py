@@ -136,10 +136,32 @@ def _make_phase_kernel(
 
         stat_rows = [st[k, 1 : 1 + hb] for k in range(nstat)]
         pix_rows = [pix[k] for k in range(nstat)]
-        cost_img = feature_costs(stat_rows)
+        # Label costs on the EXTENDED window, once: cost is a pointwise
+        # function of the moments, so every candidate's cost image is a
+        # shift of this one (same clamps as stat_shift => bit-identical
+        # to recomputing from the shifted moments).  Evaluating the
+        # Gaussian NLL once on hb+2 rows instead of once per candidate
+        # halves the kernel's transcendental (log) work.
+        cost_ext = feature_costs([st[k] for k in range(nstat)])
+        cost_img = [ce[1 : 1 + hb] for ce in cost_ext]
         old_minus = feature_costs(
             [a - b for a, b in zip(stat_rows, pix_rows)]
         )
+
+        def cost_shift(dy, dx):
+            """Shifted label-cost planes, mirroring stat_shift's clamps."""
+            out = []
+            for ce in cost_ext:
+                v = ce[1 + dy : 1 + dy + hb]
+                if dy != 0:
+                    oobv = (rows + dy < 0) | (rows + dy >= real_h)
+                    v = jnp.where(oobv, ce[1 : 1 + hb], v)
+                if dx > 0:
+                    v = jnp.concatenate([v[:, dx:], v[:, -1:]], axis=1)
+                elif dx < 0:
+                    v = jnp.concatenate([v[:, :1], v[:, :dx]], axis=1)
+                out.append(v)
+            return out
 
         prog = None
         if any(p > 0.0 for p in progressive):
@@ -154,11 +176,6 @@ def _make_phase_kernel(
             cand_valid = cand != _OOB
             cand_c = jnp.where(cand_valid, cand, 0)
             cand_rows = stat_shift(dy, dx)
-            # Candidate label cost: recomputed from the shifted stat rows —
-            # cost is a pointwise function of the moments, so this equals
-            # the jnp path's shifted cost image wherever the candidate is
-            # in bounds (OOB candidates are masked to inf below).
-            cand_cost = feature_costs(cand_rows)
 
             clique = jnp.zeros((hb, w), jnp.float32)
             for (dx2, dy2) in _OFFSETS:
@@ -170,22 +187,28 @@ def _make_phase_kernel(
                     (nb2 != _OOB) & (nb2 != cand_c), cc, 0.0
                 ).astype(jnp.float32)
 
-            cand_plus = feature_costs(
-                [a + b for a, b in zip(cand_rows, pix_rows)]
-            )
-
             total = clique
-            is_old = cand_c == labels
-            for fidx, kind in enumerate(kinds):
-                delta = (
-                    old_minus[fidx]
-                    + cand_plus[fidx]
-                    - cost_img[fidx]
-                    - cand_cost[fidx]
+            if (dx, dy) != (0, 0):
+                # The center candidate IS the old label wherever it is
+                # valid, so its feature delta is where()'d to zero —
+                # skip the evaluation entirely.
+                cand_cost = cost_shift(dy, dx)
+                cand_plus = feature_costs(
+                    [a + b for a, b in zip(cand_rows, pix_rows)]
                 )
-                if kind == "compactness" and prog is not None:
-                    delta = delta * prog
-                total = total + weights[fidx] * jnp.where(is_old, 0.0, delta)
+                is_old = cand_c == labels
+                for fidx, kind in enumerate(kinds):
+                    delta = (
+                        old_minus[fidx]
+                        + cand_plus[fidx]
+                        - cost_img[fidx]
+                        - cand_cost[fidx]
+                    )
+                    if kind == "compactness" and prog is not None:
+                        delta = delta * prog
+                    total = total + weights[fidx] * jnp.where(
+                        is_old, 0.0, delta
+                    )
 
             total = jnp.where(cand_valid, total, jnp.float32(jnp.inf))
             take = total < best_cost

@@ -60,6 +60,11 @@ class FeatureSpec:
     weight: float
     channels: int
     progressive: float = 0.0  # compactness only
+    # Static (lo, hi) value bounds of this feature's data, if known
+    # tighter than int16 — cuts the moment tally's byte-plane rows
+    # (image channels are (0, 255)).  Compactness coords are derived
+    # automatically; None = conservative int16.
+    bounds: tuple[int, int] | None = None
 
 
 def block_init_labels(height: int, width: int, block_w: int, block_h: int):
@@ -113,7 +118,8 @@ _COST_FN = {"gaussian": _gaussian_cost, "compactness": _compact_cost}
 
 
 def init_stats(labels: jnp.ndarray, data: jnp.ndarray, num_labels: int,
-               use_matmul: bool | None = None):
+               use_matmul: bool | None = None,
+               channel_bounds: tuple | None = None):
     """Channel-major stat table [1 + 2C, L]: count | sums | sum-squares.
 
     data: [C, H, W] float32 channel-major feature planes (integer-valued:
@@ -149,7 +155,9 @@ def init_stats(labels: jnp.ndarray, data: jnp.ndarray, num_labels: int,
         # ~1.4 ms/frame of pure HBM glue at KITTI geometry.
         from .pallas.tally import moment_tally_pallas
 
-        return moment_tally_pallas(flat, d, num_labels)
+        return moment_tally_pallas(
+            flat, d, num_labels, channel_bounds=channel_bounds
+        )
 
     # Byte-plane decomposition: v' = v + 32768 in [0, 2^17) -> 3 bytes;
     # v^2 < 2^30 -> 4 bytes.  All planes are 0..255 = exact in bf16.
@@ -230,11 +238,16 @@ def relax(
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + row_offset
     coords = jnp.stack([xs, ys], axis=0)  # [2, H, W]
 
-    data_list, specs = [], []
+    gh_b = float(global_h) if global_h is not None else float(h)
+    data_list, specs, ch_bounds = [], [], []
     it = iter(feature_data)
     for spec in feature_specs:
         if spec.kind == "compactness":
             data_list.append(coords)
+            # Core-pixel coords are global: x < W, y < global H.  (Halo
+            # pixels may fall outside — they are masked from the tally.)
+            cb = (0, max(w, int(gh_b)) - 1)
+            ch_bounds += [cb, cb]
         else:
             nxt = next(it)
             # Accept [H, W, C] (module convention) -> channel-major.
@@ -243,6 +256,8 @@ def relax(
             else:
                 nxt = nxt[None]
             data_list.append(nxt.astype(jnp.float32))
+            ch_bounds += [tuple(spec.bounds) if spec.bounds is not None
+                          else (-32768, 32767)] * nxt.shape[0]
         specs.append(spec)
 
     data_all = jnp.concatenate(data_list, axis=0)  # [C_total, H, W]
@@ -285,7 +300,10 @@ def relax(
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         core = (rows_i >= ht) & (rows_i < h - hb_)
         tally_labels = jnp.where(core, labels, _OOB)
-    stats0 = init_stats(tally_labels, data_all, num_labels)  # [nstat, L]
+    stats0 = init_stats(
+        tally_labels, data_all, num_labels,
+        channel_bounds=tuple(ch_bounds),
+    )  # [nstat, L]
     if axis_name is not None:
         stats0 = jax.lax.psum(stats0, axis_name)
 

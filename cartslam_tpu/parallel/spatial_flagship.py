@@ -272,7 +272,7 @@ class SpatialFlagship:
         ycrcb_ext = exchange_row_halo(ycrcb, halo, halo, ax)
         specs = [
             spops.FeatureSpec("gaussian", c.disparity_weight, 2),
-            spops.FeatureSpec("gaussian", c.image_weight, 3),
+            spops.FeatureSpec("gaussian", c.image_weight, 3, bounds=(0, 255)),
             spops.FeatureSpec(
                 "compactness", c.compactness_weight, 2,
                 c.progressive_compactness_cost,

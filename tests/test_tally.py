@@ -126,3 +126,34 @@ def test_vote_tally_pallas_interpret_exact():
             )
         )
         assert np.array_equal(ref, got.astype(np.int64)), (B, L)
+
+
+def test_moment_tally_pallas_channel_bounds_exact():
+    """Tight per-channel bounds (fewer byte planes) stay exact: uint8
+    image channels, small non-negative coords, full-range derivatives."""
+    from cartslam_tpu.ops.pallas.tally import moment_tally_pallas
+
+    rng = np.random.RandomState(7)
+    B, L = 16384, 1200
+    bounds = ((-32768, 32767), (-32768, 32767),  # derivative-like
+              (0, 255), (0, 255), (0, 255),      # image channels
+              (0, 2047), (0, 2047))              # coord channels
+    cols = [rng.randint(lo, hi + 1, B) for lo, hi in bounds]
+    dat = np.stack(cols, axis=0).astype(np.float32)
+    lab = rng.randint(0, L, B).astype(np.int32)
+    got = np.asarray(
+        moment_tally_pallas(
+            jnp.asarray(lab), jnp.asarray(dat), L,
+            channel_bounds=bounds, interpret=True,
+        ),
+        np.float64,
+    )
+    C = len(bounds)
+    dflat = dat.astype(np.float64)
+    ref = np.zeros((1 + 2 * C, L), np.float64)
+    np.add.at(ref[0], lab, 1)
+    for ch in range(C):
+        np.add.at(ref[1 + ch], lab, dflat[ch])
+        np.add.at(ref[1 + C + ch], lab, dflat[ch] ** 2)
+    np.testing.assert_array_equal(ref[: 1 + C], got[: 1 + C])
+    np.testing.assert_allclose(ref[1 + C:], got[1 + C:], rtol=2e-7, atol=0)
