@@ -34,6 +34,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _COST_INVALID = 62
 _BIG = 1 << 20
+# Double-buffered input budget for the fused bt+WTA kernel's block-size
+# pick (ops/pallas/sgm.py: rps2 loop).  Module-level so perf probes can
+# override it without editing the kernel.
+_BTWTA_VMEM_BUDGET = 5 * 1024 * 1024
 
 
 def _round_up(x, m):
@@ -508,7 +512,7 @@ def sgm_fused_pallas(
     # 4 double-buffered input blocks must stay under ~5 MB.
     rps2 = 8
     itemsize = 2 if vol_dtype == jnp.int16 else 1
-    while rps2 > 1 and 2 * rps2 * d * wv * (3 * itemsize + 1) > 5 * 1024 * 1024:
+    while rps2 > 1 and 2 * rps2 * d * wv * (3 * itemsize + 1) > _BTWTA_VMEM_BUDGET:
         rps2 //= 2
     while hb % rps2:
         rps2 //= 2

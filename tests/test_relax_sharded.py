@@ -97,3 +97,45 @@ def test_sharded_relax_bit_equal(mesh, phases, stats_refresh, progressive):
     )
     np.testing.assert_array_equal(got, ref)
     assert (ref != labels).any()  # the sweep moved boundaries
+
+
+def test_spatial_mode_faithful_knobs_config_reachable(mesh, tmp_path):
+    """The r4-closed sharding gaps are reachable from one JSON config:
+    stats_refresh='phase', relax_phases=2 and progressive compactness all
+    thread through the registry into the spatial step and run."""
+    import json
+
+    from cartslam_tpu.config.registry import read_system_config
+    from cartslam_tpu.parallel.spatial_flagship import SpatialPipeline
+
+    h, w = 96, 128
+    config = {
+        "data_source": {
+            "type": "synthetic", "image_size": [h, w], "num_frames": 2,
+        },
+        "parallel": {"mode": "spatial", "devices": 8},
+        "modules": [
+            {"type": "disparity", "num_disparities": 32, "min_disparity": 1},
+            {"type": "disparity_derivative"},
+            {"type": "superpixels", "block_size": 8, "iterations": 2,
+             "initial_iterations": 3, "stats_refresh": "phase",
+             "relax_phases": 2, "progressive_compactness_cost": 1.0},
+            {"type": "superpixel_disparity_planeseg",
+             "parameter_provider": {
+                 "type": "static",
+                 "horizontal_range_min": 3, "horizontal_range_max": 40,
+                 "vertical_range_min": -6, "vertical_range_max": 3,
+             }},
+        ],
+    }
+    path = tmp_path / "spatial_faithful.json"
+    path.write_text(json.dumps(config))
+    system = read_system_config(str(path), extra_fetch_keys=["superpixels"])
+    assert isinstance(system.pipeline, SpatialPipeline)
+    cfg = system.pipeline.flagship.cfg
+    assert cfg.stats_refresh == "phase"
+    assert cfg.relax_phases == 2
+    assert cfg.progressive_compactness_cost == 1.0
+    n = system.run()
+    assert n == 2
+    assert system.failed_frames == []
