@@ -406,24 +406,62 @@ def relax(
         new_labels = jnp.where(active, best_label, labels)
         return new_labels, upd_img, active
 
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    use_pallas = backend in ("pallas", "pallas_interpret")
+    if use_pallas:
+        from .pallas.relax import relax_phase_pallas
+
+        meta = dict(
+            ch_off=tuple(ch_off),
+            kinds=tuple(s.kind for s in specs),
+            weights=tuple(float(s.weight) for s in specs),
+            progressive=tuple(float(s.progressive) for s in specs),
+            direct_cost=float(direct_cost),
+            diagonal_cost=float(diagonal_cost),
+            num_phases=phases,
+            global_h=int(gh),
+            interpret=backend == "pallas_interpret",
+        )
+        # Global row of the array's first row (traced under sharding):
+        # the kernel needs it for the progressive factor and the
+        # checkerboard parity, both defined on GLOBAL rows.
+        row0 = jnp.asarray(row_offset, jnp.int32).reshape(1)
+
     if update_stats:
         # Reference-faithful mode: statistics refresh after every sweep, so
-        # the stat image must be re-gathered from the re-scattered table.
+        # the stat image must be re-gathered from the re-tallied table.
         # Sharded: only core rows tally (halo pixels are the neighbor's
         # core), negative/OOB labels remap to the dropped sentinel index,
         # and the moments psum to global — so every shard re-gathers
-        # identical statistics after each phase.
+        # identical statistics after each phase.  The re-tally goes
+        # through init_stats so it rides the MXU moment-tally kernel on
+        # TPU (bit-equal to the scatter: both are exact integer sums).
         def retally(lab):
             tl = lab if core is None else jnp.where(core, lab, _OOB)
-            flat_l = jnp.where(tl < 0, num_labels, tl).reshape(-1)
-            s = (
-                jnp.zeros((nstat, num_labels), jnp.float32)
-                .at[:, flat_l]
-                .add(pixel_rows.reshape(nstat, -1))
+            s = init_stats(
+                tl, data_all, num_labels, channel_bounds=tuple(ch_bounds)
             )
             if axis_name is not None:
                 s = jax.lax.psum(s, axis_name)
             return s
+
+        if use_pallas:
+            # Per-phase: gather the (fresh, global) stat image, run the
+            # fused sweep kernel (its carried stat output is discarded —
+            # faithful mode re-derives statistics), re-tally.  ~3x the
+            # per-sweep cost of 'frame' mode instead of the XLA path's
+            # dense scatter + sweep (~5x slower than this).
+            stats = stats0
+            for _ in range(iterations):
+                for phase in range(phases):
+                    stat_img = jnp.take(stats, labels, axis=1)
+                    labels, _ = relax_phase_pallas(
+                        labels, stat_img, pixel_rows, row0,
+                        phase=phase, **meta
+                    )
+                    stats = retally(labels)
+            return labels
 
         def one_iteration(carry, _):
             labels, stats = carry
@@ -443,28 +481,7 @@ def relax(
         # scatter at all.
         stat_img0 = jnp.take(stats0, labels, axis=1)
 
-        if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-
-        if backend in ("pallas", "pallas_interpret"):
-            from .pallas.relax import relax_phase_pallas
-
-            meta = dict(
-                ch_off=tuple(ch_off),
-                kinds=tuple(s.kind for s in specs),
-                weights=tuple(float(s.weight) for s in specs),
-                progressive=tuple(float(s.progressive) for s in specs),
-                direct_cost=float(direct_cost),
-                diagonal_cost=float(diagonal_cost),
-                num_phases=phases,
-                global_h=int(gh),
-                interpret=backend == "pallas_interpret",
-            )
-            # Global row of the array's first row (traced under sharding):
-            # the kernel needs it for the progressive factor and the
-            # checkerboard parity, both defined on GLOBAL rows.
-            row0 = jnp.asarray(row_offset, jnp.int32).reshape(1)
-
+        if use_pallas:
             # Python-unrolled iterations: the kernel calls are compact HLO,
             # and unrolling avoids lax.scan's double-buffered copies of the
             # [nstat, H, W] carry (a few ms/frame at KITTI geometry).
@@ -477,17 +494,15 @@ def relax(
                     )
             return labels
 
-        else:
-
-            def one_iteration(carry, _):
-                labels, stat_img = carry
-                for phase in range(phases):
-                    new_labels, upd_img, active = phase_update(
-                        labels, stat_img, phase, phases
-                    )
-                    stat_img = jnp.where(active[None], upd_img, stat_img)
-                    labels = new_labels
-                return (labels, stat_img), None
+        def one_iteration(carry, _):
+            labels, stat_img = carry
+            for phase in range(phases):
+                new_labels, upd_img, active = phase_update(
+                    labels, stat_img, phase, phases
+                )
+                stat_img = jnp.where(active[None], upd_img, stat_img)
+                labels = new_labels
+            return (labels, stat_img), None
 
         (labels, _), _ = jax.lax.scan(
             one_iteration, (labels, stat_img0), None, length=iterations

@@ -20,8 +20,11 @@ def _setup(h=26, w=40, block=6, seed=0):
     return labels, [jnp.asarray(deriv), jnp.asarray(img)], specs, max_id + 1
 
 
-@pytest.mark.parametrize("phases", [1, 2])
-def test_relax_pallas_matches_xla(phases):
+@pytest.mark.parametrize(
+    "phases,stats_refresh",
+    [(1, "frame"), (2, "frame"), (1, "phase"), (2, "phase")],
+)
+def test_relax_pallas_matches_xla(phases, stats_refresh):
     labels, data, specs, num_labels = _setup()
     kw = dict(
         feature_data=data,
@@ -31,7 +34,7 @@ def test_relax_pallas_matches_xla(phases):
         direct_cost=0.5,
         diagonal_cost=0.3536,
         phases=phases,
-        stats_refresh="frame",
+        stats_refresh=stats_refresh,
     )
     ref = np.asarray(spops.relax(labels, backend="xla", **kw))
     out = np.asarray(spops.relax(labels, backend="pallas_interpret", **kw))
