@@ -238,7 +238,7 @@ def relax(
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + row_offset
     coords = jnp.stack([xs, ys], axis=0)  # [2, H, W]
 
-    gh_b = float(global_h) if global_h is not None else float(h)
+    gh = float(global_h) if global_h is not None else float(h)
     data_list, specs, ch_bounds = [], [], []
     it = iter(feature_data)
     for spec in feature_specs:
@@ -246,7 +246,7 @@ def relax(
             data_list.append(coords)
             # Core-pixel coords are global: x < W, y < global H.  (Halo
             # pixels may fall outside — they are masked from the tally.)
-            cb = (0, max(w, int(gh_b)) - 1)
+            cb = (0, max(w, int(gh)) - 1)
             ch_bounds += [cb, cb]
         else:
             nxt = next(it)
@@ -262,7 +262,6 @@ def relax(
 
     data_all = jnp.concatenate(data_list, axis=0)  # [C_total, H, W]
     c_total = data_all.shape[0]
-    nfeat = len(specs)
     # Per-feature channel slices within the packed channel-major layout.
     ch_off = []
     o = 0
@@ -307,7 +306,6 @@ def relax(
     if axis_name is not None:
         stats0 = jax.lax.psum(stats0, axis_name)
 
-    gh = float(global_h) if global_h is not None else float(h)
     prog_factor = None
     for spec in specs:
         if spec.kind == "compactness" and spec.progressive > 0.0:
