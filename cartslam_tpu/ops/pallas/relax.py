@@ -31,6 +31,11 @@ _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 _DIRECT = {(-1, 0), (1, 0), (0, -1), (0, 1)}
 
 
+def _vma_kw(vma):
+    """ShapeDtypeStruct kwargs declaring shard_map varying axes, if any."""
+    return {"vma": frozenset(vma)} if vma else {}
+
+
 def _make_phase_kernel(
     hb, w, nstat, c_total, ch_off, kinds, weights, progressive,
     direct_cost, diagonal_cost, phase, num_phases, real_h, img_h,
@@ -228,7 +233,8 @@ def _make_phase_kernel(
     jax.jit,
     static_argnames=(
         "ch_off", "kinds", "weights", "progressive", "direct_cost",
-        "diagonal_cost", "phase", "num_phases", "global_h", "interpret",
+        "diagonal_cost", "phase", "num_phases", "global_h", "vma",
+        "interpret",
     ),
 )
 def relax_phase_pallas(
@@ -246,6 +252,7 @@ def relax_phase_pallas(
     phase: int,
     num_phases: int,
     global_h: int | None = None,
+    vma: tuple | None = None,
     interpret: bool = False,
 ):
     """One fixed-table relaxation sweep.  Returns (new_labels, new_stat).
@@ -253,6 +260,9 @@ def relax_phase_pallas(
     row0: [1] int32, global image row of `labels` row 0 (0 unsharded —
     height shards pass their offset so the progressive factor and the
     phase parity stay global-row-defined); global_h: full image height.
+    vma: mesh axis names the outputs vary over — REQUIRED when called
+    inside shard_map(check_vma=True) (pallas_call outputs must declare
+    their varying type).
     """
     h, w = labels.shape
     if row0 is None:
@@ -331,8 +341,9 @@ def relax_phase_pallas(
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((hp, w), jnp.int32),
-            jax.ShapeDtypeStruct((nstat, hp, w), jnp.float32),
+            jax.ShapeDtypeStruct((hp, w), jnp.int32, **_vma_kw(vma)),
+            jax.ShapeDtypeStruct((nstat, hp, w), jnp.float32,
+                                 **_vma_kw(vma)),
         ],
         interpret=interpret,
     )(row0, lab_prev, labels, lab_next, st_prev, stat_img, st_next,

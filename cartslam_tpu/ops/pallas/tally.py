@@ -226,7 +226,7 @@ def _make_moment_kernel(blk, nhi, nlo, nb, plan):
 
 @functools.partial(
     jax.jit, static_argnames=("num_labels", "block", "channel_bounds",
-                              "interpret")
+                              "vma", "interpret")
 )
 def moment_tally_pallas(
     labels: jnp.ndarray,
@@ -235,6 +235,7 @@ def moment_tally_pallas(
     *,
     block: int = 1024,
     channel_bounds: tuple | None = None,
+    vma: tuple | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-label count/sum/sum-sq table [1 + 2C, L] from channel planes.
@@ -284,7 +285,10 @@ def moment_tally_pallas(
         ],
         out_specs=pl.BlockSpec((nrows, nlo), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nrows, nlo), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (nrows, nlo), jnp.float32,
+            **({"vma": frozenset(vma)} if vma else {}),
+        ),
         scratch_shapes=[pltpu.VMEM((nrows, nlo), jnp.float32)],
         interpret=interpret,
     )(lab_p, d_p)

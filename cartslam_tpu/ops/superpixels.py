@@ -119,7 +119,8 @@ _COST_FN = {"gaussian": _gaussian_cost, "compactness": _compact_cost}
 
 def init_stats(labels: jnp.ndarray, data: jnp.ndarray, num_labels: int,
                use_matmul: bool | None = None,
-               channel_bounds: tuple | None = None):
+               channel_bounds: tuple | None = None,
+               vma: tuple | None = None):
     """Channel-major stat table [1 + 2C, L]: count | sums | sum-squares.
 
     data: [C, H, W] float32 channel-major feature planes (integer-valued:
@@ -156,7 +157,7 @@ def init_stats(labels: jnp.ndarray, data: jnp.ndarray, num_labels: int,
         from .pallas.tally import moment_tally_pallas
 
         return moment_tally_pallas(
-            flat, d, num_labels, channel_bounds=channel_bounds
+            flat, d, num_labels, channel_bounds=channel_bounds, vma=vma
         )
 
     # Byte-plane decomposition: v' = v + 32768 in [0, 2^17) -> 3 bytes;
@@ -299,9 +300,10 @@ def relax(
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         core = (rows_i >= ht) & (rows_i < h - hb_)
         tally_labels = jnp.where(core, labels, _OOB)
+    vma = (axis_name,) if axis_name is not None else None
     stats0 = init_stats(
         tally_labels, data_all, num_labels,
-        channel_bounds=tuple(ch_bounds),
+        channel_bounds=tuple(ch_bounds), vma=vma,
     )  # [nstat, L]
     if axis_name is not None:
         stats0 = jax.lax.psum(stats0, axis_name)
@@ -419,6 +421,7 @@ def relax(
             diagonal_cost=float(diagonal_cost),
             num_phases=phases,
             global_h=int(gh),
+            vma=(axis_name,) if axis_name is not None else None,
             interpret=backend == "pallas_interpret",
         )
         # Global row of the array's first row (traced under sharding):
@@ -438,7 +441,8 @@ def relax(
         def retally(lab):
             tl = lab if core is None else jnp.where(core, lab, _OOB)
             s = init_stats(
-                tl, data_all, num_labels, channel_bounds=tuple(ch_bounds)
+                tl, data_all, num_labels,
+                channel_bounds=tuple(ch_bounds), vma=vma,
             )
             if axis_name is not None:
                 s = jax.lax.psum(s, axis_name)

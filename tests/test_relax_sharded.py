@@ -42,7 +42,8 @@ def _setup(h, w, block=6, seed=3, progressive=0.0):
 
 
 def _run_sharded(mesh, labels, deriv, img, specs, num_labels,
-                 iterations, phases, stats_refresh):
+                 iterations, phases, stats_refresh, backend="auto",
+                 check_vma=True):
     h, w = labels.shape
     n = mesh.shape[AX]
     assert h % n == 0
@@ -58,6 +59,7 @@ def _run_sharded(mesh, labels, deriv, img, specs, num_labels,
         out = spops.relax(
             lab_ext, [dv_ext, im_ext], specs, num_labels, iterations,
             0.5, 0.3536, phases=phases, stats_refresh=stats_refresh,
+            backend=backend,
             axis_name=AX, row_offset=row0 - halo, global_h=h,
             halo_rows=(halo, halo),
         )
@@ -66,6 +68,7 @@ def _run_sharded(mesh, labels, deriv, img, specs, num_labels,
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(AX), P(AX), P(AX)), out_specs=P(AX),
+        check_vma=check_vma,
     ))
     return np.asarray(fn(
         jnp.asarray(labels), jnp.asarray(deriv), jnp.asarray(img)
@@ -97,6 +100,33 @@ def test_sharded_relax_bit_equal(mesh, phases, stats_refresh, progressive):
     )
     np.testing.assert_array_equal(got, ref)
     assert (ref != labels).any()  # the sweep moved boundaries
+
+
+def test_sharded_relax_pallas_path_bit_equal(mesh):
+    """The TPU spatial mode takes the PALLAS relax path inside shard_map;
+    interpret mode covers that path's sharding machinery on CPU — the SMEM
+    row0 scalar must put the progressive factor and the multi-phase
+    checkerboard parity on GLOBAL rows, and the carried stat image must
+    respect halo OOB freezing — bit-equal to the unsharded XLA op."""
+    h, w = 64, 48
+    iterations, phases = 2, 2
+    labels, deriv, img, specs, num_labels = _setup(h, w, progressive=1.0)
+    ref = np.asarray(spops.relax(
+        jnp.asarray(labels), [jnp.asarray(deriv), jnp.asarray(img)],
+        specs, num_labels, iterations, 0.5, 0.3536,
+        phases=phases, stats_refresh="frame",
+    ))
+    # check_vma=False HERE ONLY: interpret mode discharges the kernel into
+    # jax ops whose internal dynamic_slices mix varying block data with
+    # unvarying loop scalars (a jax-internal interpreter limitation); the
+    # COMPILED path keeps check_vma=True — pallas_call is opaque there and
+    # declares its varying type via the out_shape vma (ops/pallas/relax.py).
+    got = _run_sharded(
+        mesh, labels, deriv, img, specs, num_labels,
+        iterations, phases, "frame", backend="pallas_interpret",
+        check_vma=False,
+    )
+    np.testing.assert_array_equal(got, ref)
 
 
 def test_spatial_mode_faithful_knobs_config_reachable(mesh, tmp_path):
