@@ -360,6 +360,62 @@ class SpatialFlagship:
         }
         return new_state, outputs
 
+    def make_batched_step(self, variant: str = "normal",
+                          seq_axis: str = "seq"):
+        """Composed DP x spatial step over a 2-D mesh (seq, spatial).
+
+        Scales BOTH ways at once: independent sequences shard over
+        `seq_axis` (the multiseq throughput axis) while each sequence's
+        frame rows shard over the spatial axis — e.g. a 16-chip slice as
+        2 sequences x 8-way latency sharding.  The local step is the
+        SAME `_local_step`; its collectives name only the spatial axis,
+        so psums/ppermutes stay within each sequence's subgroup.  State
+        and frame pytrees carry a leading per-sequence batch axis of
+        global size = mesh.shape[seq_axis] (one sequence per group).
+        """
+        c = self.cfg
+        mesh = self.mesh
+        if seq_axis not in mesh.shape or c.axis not in mesh.shape:
+            raise ValueError(
+                f"mesh must have axes ({seq_axis!r}, {c.axis!r})"
+            )
+
+        def local(state, frame, params):
+            # One sequence per (seq) group: drop the size-1 local batch.
+            sq = lambda t: jax.tree.map(lambda x: x[0], t)
+            new_state, out = self._local_step(
+                variant, sq(state), sq(frame), params
+            )
+            ex = lambda t: jax.tree.map(lambda x: x[None], t)
+            return ex(new_state), ex(out)
+
+        sp = lambda *rest: P(seq_axis, *rest)
+        specs_state = {
+            "labels": sp(c.axis), "prev_gray": sp(c.axis),
+            "warp_votes": sp(None, c.axis), "prev_unsmoothed": sp(c.axis),
+        }
+        specs_frame = {
+            "left": sp(c.axis), "right": sp(c.axis), "frame_id": sp(),
+        }
+        out_specs = (
+            specs_state,
+            {
+                "disparity": sp(c.axis), "disparity_derivative": sp(c.axis),
+                "disparity_derivative_histogram": sp(), "depth": sp(c.axis),
+                "optflow": sp(c.axis), "superpixels": sp(c.axis),
+                "superpixels_max_label": P(),
+                "planes": sp(c.axis), "planes_unsmoothed": sp(c.axis),
+            },
+        )
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(specs_state, specs_frame, {"ranges": P(), "q": P()}),
+            out_specs=out_specs,
+            check_vma=True,
+        )
+        return jax.jit(fn, donate_argnums=(0,))
+
     def make_step(self, variant: str = "normal"):
         if variant in self._steps:
             return self._steps[variant]

@@ -277,3 +277,64 @@ def test_spatial_rejects_unsupported_modules(mesh):
         build_system(
             cfg["data_source"], mods, parallel={"mode": "spatial"}
         )
+
+
+def test_composed_seq_x_spatial_mesh(mesh):
+    """DP x spatial composition: a 2-D (seq, spatial) mesh runs two
+    sequences, each height-sharded 4-way, in ONE program — bit-equal per
+    sequence to the 1-D spatial mode (whose parity reference is the
+    production Pipeline).  The local step's collectives name only the
+    spatial axis, so reductions stay within each sequence's subgroup."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    h, w = 96, 128
+    cfg = SpatialFlagshipConfig(height=h, width=w, **_CFG)
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2d = Mesh(devs, ("seq", "spatial"))
+    mesh1d = Mesh(np.array(jax.devices()[:4]), ("spatial",))
+
+    frames_a = _frames(h, w, 2, seed=0)
+    frames_b = _frames(h, w, 2, seed=7)
+
+    # Reference: the 1-D spatial flagship per sequence.
+    def run_1d(frames):
+        sf = SpatialFlagship(mesh1d, cfg)
+        state = jax.device_put(sf.init_state())
+        params = sf.init_params(ranges=_RANGES)
+        outs = []
+        with mesh1d:
+            for i, f in enumerate(frames):
+                step = sf.make_step(sf.variant(i + 1))
+                frame = {"left": f["left"], "right": f["right"],
+                         "frame_id": np.int32(i + 1)}
+                state, out = step(state, frame, params)
+                outs.append(jax.device_get(out))
+        return outs
+
+    ref_a = run_1d(frames_a)
+    ref_b = run_1d(frames_b)
+
+    sf2 = SpatialFlagship(mesh2d, cfg)
+    params = sf2.init_params(ranges=_RANGES)
+    state1 = sf2.init_state()
+    state = {k: np.stack([v, v]) for k, v in state1.items()}
+    with mesh2d:
+        for i in range(2):
+            step = sf2.make_batched_step(sf2.variant(i + 1))
+            frame = {
+                "left": np.stack([frames_a[i]["left"], frames_b[i]["left"]]),
+                "right": np.stack(
+                    [frames_a[i]["right"], frames_b[i]["right"]]
+                ),
+                "frame_id": np.asarray([i + 1, i + 1], np.int32),
+            }
+            state, out = step(state, frame, params)
+            got = jax.device_get(out)
+            for s, want in ((0, ref_a[i]), (1, ref_b[i])):
+                for key in ("disparity", "superpixels", "planes",
+                            "planes_unsmoothed",
+                            "disparity_derivative_histogram"):
+                    np.testing.assert_array_equal(
+                        got[key][s], want[key], err_msg=f"seq {s} {key}"
+                    )
