@@ -221,6 +221,50 @@ def _warn_warp_bound(modules):
             )
 
 
+def _replicate_sources(parallel: dict, source_cfg: dict, source, batch: int,
+                       image_size: tuple[int, int]):
+    """B sources for a lock-step parallel run: `parallel.sources` configs,
+    or the primary config replicated (per-sequence variation where the
+    source type supports it)."""
+    src_cfgs = parallel.get("sources")
+    if src_cfgs is None:
+        src_cfgs = []
+        for i in range(batch):
+            c = dict(source_cfg)
+            if c.get("type") == "synthetic":
+                c["seed"] = int(c.get("seed", 0)) + i
+            src_cfgs.append(c)
+    if len(src_cfgs) != batch:
+        raise ValueError(
+            "parallel.sources length must equal the sequence count"
+        )
+    sources = [source if i == 0 else create_data_source(c)
+               for i, c in enumerate(src_cfgs)]
+    for s in sources:
+        if s.get_image_size() != image_size:
+            raise ValueError("all parallel sources must share image size")
+    return sources
+
+
+def _split_multiseq_kwargs(system_kwargs: dict):
+    """(accepted, dropped) split of System options for MultiSeqSystem."""
+    ms_keys = {
+        "checkpoint_path", "checkpoint_interval", "resume_from",
+        "data_timeout", "snapshot_interval",
+    }
+    accepted = {k: v for k, v in system_kwargs.items() if k in ms_keys}
+    dropped = {
+        k: v for k, v in system_kwargs.items() if v and k not in ms_keys
+    }
+    if dropped:
+        import logging
+
+        logging.getLogger("cart.config").warning(
+            "multi-sequence mode ignores system options: %s", sorted(dropped)
+        )
+    return accepted, dropped
+
+
 def _build_spatial_pipeline(parallel: dict, ctx, modules, source_cfg):
     """Map the standard modules list onto the spatial flagship chain.
 
@@ -265,8 +309,24 @@ def _build_spatial_pipeline(parallel: dict, ctx, modules, source_cfg):
     flow = by_type.get("ImageOpticalFlowModule")
 
     n = int(parallel.get("devices", len(jax.devices())))
-    mesh = Mesh(np.array(jax.devices()[:n]), ("spatial",))
-    h_local = ctx.height // n if ctx.height % n == 0 else 0
+    seqs = int(parallel.get("sequences", 1))
+    if seqs > 1:
+        # Composed DP x spatial: a (seq, spatial) 2-D mesh — `sequences`
+        # independent sources, each height-sharded over n/sequences chips
+        # (parallel/system.py:SpatialMultiSeqSystem).
+        if n % seqs:
+            raise ValueError(
+                f"parallel.devices={n} must divide by sequences={seqs}"
+            )
+        n_sp = n // seqs
+        mesh = Mesh(
+            np.array(jax.devices()[:n]).reshape(seqs, n_sp),
+            ("seq", "spatial"),
+        )
+    else:
+        n_sp = n
+        mesh = Mesh(np.array(jax.devices()[:n]), ("spatial",))
+    h_local = ctx.height // n_sp if ctx.height % n_sp == 0 else 0
 
     kw = dict(
         height=ctx.height,
@@ -367,9 +427,31 @@ def build_system(
             # (parallel/spatial_flagship.py).  The standard System loop
             # drives it through the Pipeline-compatible facade, so timing,
             # watchdog, recovery, checkpointing, and host modules all work.
+            # With "sequences": B > 1 the mesh is 2-D (seq, spatial) and
+            # B sources run through the composed DP x spatial driver.
             spatial = _build_spatial_pipeline(
                 parallel, ctx, modules, source_cfg
             )
+            seqs = int(parallel.get("sequences", 1))
+            if seqs > 1:
+                from ..parallel.system import SpatialMultiSeqSystem
+
+                sources = _replicate_sources(
+                    parallel, source_cfg, source, seqs, (h, w)
+                )
+                ms_kwargs, _ = _split_multiseq_kwargs(system_kwargs)
+                return SpatialMultiSeqSystem(
+                    sources,
+                    spatial,
+                    host_modules,
+                    mesh=spatial.flagship.mesh,
+                    timing=timing,
+                    image_sink=image_sink,
+                    max_frames=max_frames,
+                    max_in_flight=max_in_flight,
+                    extra_fetch_keys=extra_fetch_keys,
+                    **ms_kwargs,
+                )
             return System(
                 source,
                 spatial,
@@ -389,41 +471,11 @@ def build_system(
 
             initialize_multihost(parallel["multihost"])
         batch = int(parallel.get("batch", len(__import__("jax").devices())))
-        src_cfgs = parallel.get("sources")
-        if src_cfgs is None:
-            # Replicate the primary source config; per-sequence variation
-            # where the source type supports it (synthetic seed, kitti
-            # sequence list).
-            src_cfgs = []
-            for i in range(batch):
-                c = dict(source_cfg)
-                if c.get("type") == "synthetic":
-                    c["seed"] = int(c.get("seed", 0)) + i
-                src_cfgs.append(c)
-        if len(src_cfgs) != batch:
-            raise ValueError("parallel.sources length must equal parallel.batch")
-        sources = [source if i == 0 else create_data_source(c)
-                   for i, c in enumerate(src_cfgs)]
-        for s in sources:
-            if s.get_image_size() != (h, w):
-                raise ValueError("all parallel sources must share image size")
+        sources = _replicate_sources(parallel, source_cfg, source, batch, (h, w))
 
         from ..parallel.system import MultiSeqSystem
 
-        ms_keys = {
-            "checkpoint_path", "checkpoint_interval", "resume_from",
-            "data_timeout", "snapshot_interval",
-        }
-        ms_kwargs = {k: v for k, v in system_kwargs.items() if k in ms_keys}
-        dropped = {
-            k: v for k, v in system_kwargs.items() if v and k not in ms_keys
-        }
-        if dropped:
-            import logging
-
-            logging.getLogger("cart.config").warning(
-                "multiseq mode ignores system options: %s", sorted(dropped)
-            )
+        ms_kwargs, _ = _split_multiseq_kwargs(system_kwargs)
         return MultiSeqSystem(
             sources,
             pipeline,

@@ -513,7 +513,16 @@ class SpatialPipeline:
 
     @functools.lru_cache(maxsize=8)
     def jitted_step(self, variant: str, fetch_keys: frozenset):
-        raw = self.flagship.make_step(variant)
+        return self._wrap_step(self.flagship.make_step(variant), fetch_keys)
+
+    @functools.lru_cache(maxsize=8)
+    def jitted_batched_step(self, variant: str, fetch_keys: frozenset):
+        """Composed (seq, spatial) step for SpatialMultiSeqSystem."""
+        return self._wrap_step(
+            self.flagship.make_batched_step(variant), fetch_keys
+        )
+
+    def _wrap_step(self, raw, fetch_keys):
         sp_name = self._sp_host.name
 
         def step(state, frame, host_params):

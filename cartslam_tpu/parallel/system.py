@@ -355,3 +355,38 @@ class MultiSeqSystem:
                     self.image_sink.set_image_if_later(win, im, frame_id)
             else:
                 self.image_sink.set_image_if_later(hm.name, img, frame_id)
+
+
+class SpatialMultiSeqSystem(MultiSeqSystem):
+    """Composed DP x spatial driver: B sequences over a (seq, spatial)
+    2-D mesh, each sequence's frame rows height-sharded.
+
+    Config: ``{"parallel": {"mode": "spatial", "sequences": B}}`` — the
+    16-chip shape "2 sequences x 8-way row sharding" in one program.
+    Reuses the MultiSeqSystem loop (lock-step rounds, watchdogged drains,
+    snapshot recovery, checkpointing, batch-summed histogram providers);
+    only the mesh and the jitted step differ — the step is
+    SpatialPipeline.jitted_batched_step, whose collectives name only the
+    spatial axis so reductions stay within each sequence's subgroup.
+
+    Inputs/state are placed batch-sharded over 'seq' (any-rank arrays);
+    the shard_map's in_specs reshard rows over 'spatial' at dispatch.
+    """
+
+    def __init__(self, sources, pipeline, host_modules=(), *, mesh, **kw):
+        super().__init__(
+            sources, pipeline, host_modules,
+            devices=list(mesh.devices.flat), **kw,
+        )
+        if len(sources) != mesh.shape["seq"]:
+            raise ValueError(
+                f"{len(sources)} sources for a {mesh.shape['seq']}-sequence "
+                "mesh axis"
+            )
+        self.mesh = mesh
+        self._shard = NamedSharding(mesh, P("seq"))
+        self._repl = NamedSharding(mesh, P())
+
+    @functools.lru_cache(maxsize=64)
+    def _jitted(self, variant, fetch_keys: frozenset):
+        return self.pipeline.jitted_batched_step(variant, fetch_keys)

@@ -338,3 +338,47 @@ def test_composed_seq_x_spatial_mesh(mesh):
                     np.testing.assert_array_equal(
                         got[key][s], want[key], err_msg=f"seq {s} {key}"
                     )
+
+
+def test_composed_mode_config_reachable(mesh, tmp_path):
+    """`parallel: {"mode": "spatial", "sequences": 2}` drives the composed
+    DP x spatial system from one JSON config: 2 sources on a (2, 4) mesh,
+    provider histograms batch-summed, full System-loop fault surface."""
+    import json
+
+    from cartslam_tpu.config.registry import read_system_config
+    from cartslam_tpu.parallel.system import SpatialMultiSeqSystem
+
+    h, w = 96, 128
+    config = {
+        "data_source": {
+            "type": "synthetic", "image_size": [h, w], "num_frames": 3,
+        },
+        "parallel": {"mode": "spatial", "devices": 8, "sequences": 2},
+        "modules": [
+            {"type": "disparity", "num_disparities": 32, "min_disparity": 1},
+            {"type": "disparity_derivative"},
+            {"type": "optflow", "levels": 3, "search": 2, "refine": 1},
+            {"type": "superpixels", "block_size": 8, "iterations": 4,
+             "initial_iterations": 6},
+            {"type": "superpixel_disparity_planeseg",
+             "parameter_provider": {"type": "histogram_peak"},
+             "update_interval": 2, "use_temporal_smoothing": True,
+             "max_warp_y": 8},
+        ],
+    }
+    path = tmp_path / "spatial_composed.json"
+    path.write_text(json.dumps(config))
+    system = read_system_config(str(path), extra_fetch_keys=["planes"])
+    assert isinstance(system, SpatialMultiSeqSystem)
+    assert system.mesh.shape == {"seq": 2, "spatial": 4}
+
+    seen = {}
+
+    def on_frame(fid, fetched):
+        seen[fid] = fetched["planes"].shape
+
+    n = system.run(on_frame=on_frame)
+    assert n == 6  # 3 lock-step rounds x 2 sequences
+    assert system.failed_frames == []
+    assert seen[3] == (2, h, w)  # per-sequence batch axis
