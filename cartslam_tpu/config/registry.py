@@ -40,7 +40,10 @@ def create_data_source(cfg: dict):
     """reference: src/cartconfig.cpp:82-104 (+ synthetic test source)."""
     stype = cfg["type"]
     if stype == "kitti":
-        return KITTIDataSource(cfg["path"], cfg.get("sequence", 0))
+        return KITTIDataSource(
+            cfg["path"], cfg.get("sequence", 0),
+            decode_workers=cfg.get("decode_workers", 6),
+        )
     if stype == "zed":
         return ZEDDataSource(
             cfg["path"],

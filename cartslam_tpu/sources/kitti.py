@@ -52,8 +52,14 @@ class KITTIDataSource(DataSource):
         path: str,
         sequence: int | None = None,
         image_size: tuple[int, int] | None = None,
+        decode_workers: int = 6,
     ):
         super().__init__(image_size)
+        # PNG decode is ~15-25 ms/image at KITTI geometry and cv2 releases
+        # the GIL, so the pool size sets the source's sustained frame rate:
+        # workers / (2 decodes x ~20 ms) — 2 workers cap at ~50 fps, below
+        # the 81 fps device step; 6 sustain ~150 fps with headroom.
+        self.decode_workers = max(2, int(decode_workers))
         path = os.path.expanduser(path)
         if sequence is not None:
             path = os.path.join(path, "sequences", f"{sequence:02d}")
@@ -91,15 +97,14 @@ class KITTIDataSource(DataSource):
         return not self.is_next_ready()
 
     def _decode_pool(self):
-        # Lazy 2-thread pool: the two camera PNGs decode concurrently and
-        # the NEXT frame's decodes overlap the current frame's device step
-        # (PNG decode at 1241x376 is ~15-25 ms/image — the single-threaded
-        # prefetch loop would cap the 60 fps pipeline otherwise).
+        # Lazy pool: camera PNGs decode concurrently and the next frames'
+        # decodes overlap the current frame's device step.
         if not hasattr(self, "_pool"):
             import concurrent.futures
 
             self._pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=2, thread_name_prefix="kitti-decode"
+                max_workers=self.decode_workers,
+                thread_name_prefix="kitti-decode",
             )
             self._pending: dict[int, list] = {}
         return self._pool
@@ -117,8 +122,9 @@ class KITTIDataSource(DataSource):
     def get_next(self):
         if not self.is_next_ready():
             return None
-        self._submit(self.current_frame)
-        self._submit(self.current_frame + 1)  # overlap the next decode
+        # Keep the pool fed workers/2 frames ahead (2 decodes per frame).
+        for ahead in range(self.decode_workers // 2 + 1):
+            self._submit(self.current_frame + ahead)
         futs = self._pending.pop(self.current_frame)
         left, right = futs[0].result(), futs[1].result()
         self.current_frame += 1
