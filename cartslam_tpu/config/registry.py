@@ -50,6 +50,7 @@ def create_data_source(cfg: dict):
             cfg.get("include_disparity", False),
             real_time_mode=cfg.get("svo_real_time_mode", False),
             fps=cfg.get("fps", 15.0),
+            decode_workers=cfg.get("decode_workers", 6),
         )
     if stype == "synthetic":
         return SyntheticDataSource(

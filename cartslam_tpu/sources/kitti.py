@@ -14,7 +14,7 @@ import os
 
 import numpy as np
 
-from .base import DataSource, resize_bgr
+from .base import DataSource, DecodePrefetcher, resize_bgr
 from ..utils.imageio import imread_bgr
 
 
@@ -96,28 +96,26 @@ class KITTIDataSource(DataSource):
     def is_finished(self) -> bool:
         return not self.is_next_ready()
 
-    def _decode_pool(self):
-        # Lazy pool: camera PNGs decode concurrently and the next frames'
-        # decodes overlap the current frame's device step.
-        if not hasattr(self, "_pool"):
-            import concurrent.futures
-
-            self._pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=self.decode_workers,
-                thread_name_prefix="kitti-decode",
+    def _prefetcher(self) -> DecodePrefetcher:
+        if not hasattr(self, "_decode"):
+            self._decode = DecodePrefetcher(
+                self.decode_workers, name="kitti-decode"
             )
-            self._pending: dict[int, list] = {}
-        return self._pool
+        return self._decode
 
     def _submit(self, frame: int):
-        pool = self._decode_pool()
-        if frame not in self._pending and os.path.exists(
+        pf = self._prefetcher()
+        if not pf.has(frame) and os.path.exists(
             self._img_path(self.LEFT_CAM, frame)
         ):
-            self._pending[frame] = [
-                pool.submit(imread_bgr, self._img_path(cam, frame))
+            paths = [
+                self._img_path(cam, frame)
                 for cam in (self.LEFT_CAM, self.RIGHT_CAM)
             ]
+            pf.submit(
+                frame,
+                [lambda p=p: imread_bgr(p) for p in paths],
+            )
 
     def get_next(self):
         if not self.is_next_ready():
@@ -125,8 +123,7 @@ class KITTIDataSource(DataSource):
         # Keep the pool fed workers/2 frames ahead (2 decodes per frame).
         for ahead in range(self.decode_workers // 2 + 1):
             self._submit(self.current_frame + ahead)
-        futs = self._pending.pop(self.current_frame)
-        left, right = futs[0].result(), futs[1].result()
+        left, right = self._prefetcher().take(self.current_frame)
         self.current_frame += 1
         left = resize_bgr(left, self.image_size)
         right = resize_bgr(right, self.image_size)
@@ -135,5 +132,5 @@ class KITTIDataSource(DataSource):
     def skip(self, n: int) -> None:
         """Seek past the first n frames (checkpoint resume)."""
         self.current_frame = n
-        if hasattr(self, "_pending"):
-            self._pending.clear()
+        if hasattr(self, "_decode"):
+            self._decode.clear()

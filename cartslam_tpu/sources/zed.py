@@ -20,7 +20,7 @@ import os
 
 import numpy as np
 
-from .base import DataSource, resize_bgr
+from .base import DataSource, DecodePrefetcher, resize_bgr
 from ..utils.imageio import imread_bgr
 
 
@@ -43,6 +43,7 @@ class ZEDDataSource(DataSource):
         image_size: tuple[int, int] | None = None,
         real_time_mode: bool = False,
         fps: float = 15.0,
+        decode_workers: int = 6,
     ):
         """real_time_mode paces playback at the recording's fps — the
         CARTSLAM_ZED_REALTIME_MODE option (src/sources/zed.cpp:16-18), as a
@@ -52,6 +53,11 @@ class ZEDDataSource(DataSource):
         self.include_disparity = include_disparity
         self.real_time_mode = real_time_mode
         self.fps = fps
+        # Dir-format 720p PNGs decode at ~40 ms each; pooled read-ahead
+        # keeps the source above the device step rate (see
+        # base.DecodePrefetcher); the npz path reads memory-mapped arrays
+        # and needs none.
+        self.decode_workers = decode_workers
         self._t0: float | None = None
         self._frame = 0
 
@@ -119,8 +125,9 @@ class ZEDDataSource(DataSource):
                 else None
             )
         else:
-            left = imread_bgr(os.path.join(self._dir, "left", f"{i:06d}.png"))
-            right = imread_bgr(os.path.join(self._dir, "right", f"{i:06d}.png"))
+            for ahead in range(self.decode_workers // 2 + 1):
+                self._submit_dir(i + ahead)
+            left, right = self._prefetcher().take(i)
             dpath = os.path.join(self._dir, "disparity", f"{i:06d}.npy")
             disp = (
                 np.load(dpath).astype(np.float32)
@@ -137,6 +144,25 @@ class ZEDDataSource(DataSource):
             out["zed_disparity"] = disp
         return out
 
+    def _prefetcher(self) -> DecodePrefetcher:
+        if not hasattr(self, "_decode"):
+            self._decode = DecodePrefetcher(
+                self.decode_workers, name="zed-decode"
+            )
+        return self._decode
+
+    def _submit_dir(self, i: int) -> None:
+        pf = self._prefetcher()
+        if i >= self._num or pf.has(i):
+            return
+        paths = [
+            os.path.join(self._dir, side, f"{i:06d}.png")
+            for side in ("left", "right")
+        ]
+        pf.submit(i, [lambda p=p: imread_bgr(p) for p in paths])
+
     def skip(self, n: int) -> None:
         """Seek past the first n frames (checkpoint resume)."""
         self._frame = n
+        if hasattr(self, "_decode"):
+            self._decode.clear()

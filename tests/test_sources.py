@@ -109,3 +109,38 @@ def test_zed_realtime_pacing(tmp_path):
         src.get_next()
     # 3 frames at 50 fps: the 3rd is due at t0 + 2/50 = 40 ms.
     assert time.monotonic() - t0 >= 0.04
+
+
+def test_zed_dir_source_prefetch(tmp_path):
+    """Dir-format ZED source: pooled decode read-ahead returns the right
+    frames in order, and skip() drops stale prefetched decodes."""
+    from cartslam_tpu.utils.imageio import imwrite_bgr
+
+    h, w, n = 16, 32, 4
+    rng = np.random.RandomState(2)
+    (tmp_path / "left").mkdir()
+    (tmp_path / "right").mkdir()
+    frames = []
+    for i in range(n):
+        l = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        r = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        imwrite_bgr(str(tmp_path / "left" / f"{i:06d}.png"), l)
+        imwrite_bgr(str(tmp_path / "right" / f"{i:06d}.png"), r)
+        frames.append((l, r))
+    (tmp_path / "intrinsics.json").write_text(
+        '{"fx": 100.0, "cx": 16.0, "cy": 8.0, "baseline": 0.1}'
+    )
+
+    src = ZEDDataSource(str(tmp_path), decode_workers=4)
+    assert src.get_image_size() == (h, w)
+    for i in range(2):
+        f = src.get_next()
+        np.testing.assert_array_equal(f["left"], frames[i][0])
+        np.testing.assert_array_equal(f["right"], frames[i][1])
+
+    src2 = ZEDDataSource(str(tmp_path), decode_workers=4)
+    src2.get_next()  # prefetches ahead
+    src2.skip(3)
+    f = src2.get_next()
+    np.testing.assert_array_equal(f["left"], frames[3][0])
+    assert src2.is_finished()
