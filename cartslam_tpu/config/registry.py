@@ -379,6 +379,8 @@ def _build_spatial_pipeline(parallel: dict, ctx, modules, source_cfg):
         kw["flow_halo"] = int(parallel["flow_halo"])
     elif h_local:
         kw["flow_halo"] = min(46, h_local)
+    if "flow_mode" in parallel:
+        kw["flow_mode"] = str(parallel["flow_mode"])
     cfg = SpatialFlagshipConfig(**kw)
     return SpatialPipeline(
         mesh, ctx, cfg, sp.provider,

@@ -97,7 +97,16 @@ class SpatialFlagshipConfig(NamedTuple):
     sgm_halo: int = 24
     # Covers dense_flow's static vertical reach (42 px for the default
     # 4-level pyramid after the base_level upsample) plus window margin.
+    # Used by flow_mode='sharded' only.
     flow_halo: int = 46
+    # 'global' (default): all_gather the ~1 MB gray pair and run ONE
+    # global-image pyramid identically on every shard — bit-exact for
+    # any shard count (per-shard pyramids shift their decimation grids
+    # at non-power-of-two shard offsets, which kept the temporally
+    # voted planes at a 0.98 agreement gate in r3/r4).  'sharded':
+    # per-shard apron pyramids — ~1/n the flow FLOPs per chip, at the
+    # cost of that approximation.
+    flow_mode: str = "global"
     axis: str = "spatial"
 
 
@@ -114,7 +123,8 @@ class SpatialFlagship:
         ph = max(1, config.relax_phases)
         for halo, name in (
             (3, "census_halo"),  # 9x7 census window of the exact SGM
-            (config.flow_halo, "flow_halo"),
+            (config.flow_halo if config.flow_mode == "sharded" else 0,
+             "flow_halo"),
             (config.iterations * ph, "iterations*phases"),
             (config.initial_iterations * ph, "initial_iterations*phases"),
             (config.max_warp_y, "max_warp_y"),
@@ -237,16 +247,37 @@ class SpatialFlagship:
             disparity, params["q"], row_offset=row0
         )
 
-        # --- optical flow (apron covers the pyramid's vertical reach) ----
-        fh = c.flow_halo
-        cur_ext = exchange_row_halo(gray_l, fh, fh, ax)
-        prev_ext = exchange_row_halo(state["prev_gray"], fh, fh, ax)
-        flow_ext = optflow.dense_flow(
-            cur_ext, prev_ext,
-            levels=c.flow_levels, search=c.flow_search,
-            refine=c.flow_refine, base_level=c.flow_base_level,
-        )
-        flow = optflow.to_s10_5(flow_ext[fh:-fh])
+        # --- optical flow ------------------------------------------------
+        if c.flow_mode == "global":
+            # Bit-exact: gather the gray pair (~1 MB over ICI) and run the
+            # full-image pyramid identically on every shard, then keep
+            # this shard's rows.  Identical input => identical to the
+            # production Pipeline's dense_flow, bit for bit.
+            cur_full = jax.lax.all_gather(gray_l, ax, axis=0, tiled=True)
+            prev_full = jax.lax.all_gather(
+                state["prev_gray"], ax, axis=0, tiled=True
+            )
+            flow_full = optflow.dense_flow(
+                cur_full, prev_full,
+                levels=c.flow_levels, search=c.flow_search,
+                refine=c.flow_refine, base_level=c.flow_base_level,
+            )
+            flow = optflow.to_s10_5(
+                jax.lax.dynamic_slice_in_dim(
+                    flow_full, row0, self.h_local, 0
+                )
+            )
+        else:
+            # Per-shard apron pyramids (approximate at shard seams).
+            fh = c.flow_halo
+            cur_ext = exchange_row_halo(gray_l, fh, fh, ax)
+            prev_ext = exchange_row_halo(state["prev_gray"], fh, fh, ax)
+            flow_ext = optflow.dense_flow(
+                cur_ext, prev_ext,
+                levels=c.flow_levels, search=c.flow_search,
+                refine=c.flow_refine, base_level=c.flow_base_level,
+            )
+            flow = optflow.to_s10_5(flow_ext[fh:-fh])
         flow = jnp.where(frame_id > 1, flow, jnp.zeros_like(flow))
 
         # --- contour relaxation (iterations-row halo, psum'd stats) ------

@@ -134,18 +134,21 @@ def _pipeline_reference(cfg: SpatialFlagshipConfig, frames, q):
     return outs
 
 
-def test_spatial_matches_production_pipeline(mesh):
+@pytest.mark.parametrize("flow_mode", ["global", "sharded"])
+def test_spatial_matches_production_pipeline(mesh, flow_mode):
     """8-way row sharding vs the production Pipeline at matching params.
 
     r4: SGM seams are BIT-EXACT (split-scan carry chain,
-    parallel/sgm_sharded.py), so disparity, the derivative histogram,
-    depth, superpixel labels and unsmoothed planes must match the
-    production Pipeline exactly; the per-shard flow pyramid is the one
-    remaining approximation, so only the temporally-voted planes keep an
-    agreement gate.  Runs through a reset frame (reset_iterations=4) so
+    parallel/sgm_sharded.py) and the default flow mode gathers the gray
+    pair to run the production pyramid verbatim — so EVERY output,
+    including the temporally-voted planes, must match the production
+    Pipeline exactly.  flow_mode='sharded' (per-shard apron pyramids,
+    ~1/n the flow FLOPs) keeps a 0.98 agreement gate on the voted
+    planes only.  Runs through a reset frame (reset_iterations=4) so
     the variant cadence is compared too."""
     h, w = 96, 128  # 8 shards of 12 rows
-    cfg = SpatialFlagshipConfig(height=h, width=w, **_CFG)
+    cfg = SpatialFlagshipConfig(height=h, width=w, flow_mode=flow_mode,
+                                **_CFG)
     q = np.eye(4, dtype=np.float32)
     q[2, 2], q[2, 3] = 0.0, 120.0
     q[3, 2], q[3, 3] = 2.0, 0.0
@@ -196,10 +199,15 @@ def test_spatial_matches_production_pipeline(mesh):
                 got["planes_unsmoothed"], want["planes_unsmoothed"],
                 err_msg=f"frame {i}",
             )
-            # Temporal vote reads the per-shard flow pyramid (decimation
-            # grids shift per shard), the one remaining approximation.
-            plane_agree = (got["planes"] == want["planes"]).mean()
-            assert plane_agree > 0.98, (i, plane_agree)
+            if flow_mode == "global":
+                np.testing.assert_array_equal(
+                    got["planes"], want["planes"], err_msg=f"frame {i}"
+                )
+            else:
+                # Per-shard flow pyramids shift their decimation grids,
+                # the sharded flow mode's documented approximation.
+                plane_agree = (got["planes"] == want["planes"]).mean()
+                assert plane_agree > 0.98, (i, plane_agree)
 
 
 def test_spatial_mode_config_reachable(mesh, tmp_path):
