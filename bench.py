@@ -44,11 +44,36 @@ H, W = 376, 1248
 MAX_IN_FLIGHT = 8
 
 
+def _wait_for_backend(attempts: int = 5, delay_s: float = 45.0):
+    """Retry TPU backend init across transient tunnel outages.
+
+    The dev TPU is reached through a tunnel that occasionally drops; a
+    failed `jax.devices()` here would lose the round's bench artifact
+    for what is usually a sub-minute flap."""
+    import jax
+    import jax.extend
+
+    for i in range(attempts):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if i == attempts - 1:
+                raise
+            print(
+                f"bench: backend init failed ({e}); retry {i + 1}/{attempts}",
+                file=sys.stderr,
+            )
+            jax.extend.backend.clear_backends()
+            time.sleep(delay_s)
+
+
 def main():
     import jax
 
     from __graft_entry__ import _flagship_pipeline  # also enables compile cache
     from cartslam_tpu.sources.synthetic import SyntheticDataSource
+
+    _wait_for_backend()
 
     frames_n = int(sys.argv[1]) if len(sys.argv) > 1 else 192
     pipeline = _flagship_pipeline(H, W, num_disparities=NUM_DISPARITIES, temporal=True)
