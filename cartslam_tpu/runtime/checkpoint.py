@@ -52,5 +52,13 @@ def load_checkpoint(path: str, example_state):
     meta = json.loads(str(data["__meta__"]))
     leaves = [data[f"leaf_{i}"] for i in range(len(data.files) - 1)]
     _, treedef = jax.tree.flatten(example_state)
+    if meta.get("treedef") and meta["treedef"] != str(treedef):
+        # Same-shaped leaves of a different pipeline would silently land
+        # in the wrong slots; make config/checkpoint mismatch loud.
+        raise ValueError(
+            f"checkpoint '{path}' was saved by a pipeline with a different "
+            f"state structure:\n  saved:   {meta['treedef']}\n"
+            f"  current: {treedef}"
+        )
     state = jax.tree.unflatten(treedef, leaves)
     return state, meta["frame_id"], _unjson(meta["host_state"])

@@ -93,3 +93,21 @@ def test_resume_with_histogram_provider(tmp_path):
     assert sorted(resumed.keys()) == [6, 7, 8]
     for fid in (6, 7, 8):
         np.testing.assert_array_equal(resumed[fid]["planes"], full[fid]["planes"])
+
+
+def test_resume_rejects_mismatched_pipeline(tmp_path):
+    """A checkpoint saved by a different pipeline must fail loudly:
+    same-shaped leaves landing in wrong slots would silently corrupt."""
+    import pytest
+
+    from cartslam_tpu.runtime.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, {"a": np.zeros(3), "b": np.ones(3)}, 5)
+    state, fid, _ = load_checkpoint(path, {"a": np.zeros(3), "b": np.zeros(3)})
+    assert fid == 5 and state["b"].sum() == 3  # matching structure loads
+
+    with pytest.raises(ValueError, match="different[\\s\\S]*structure"):
+        load_checkpoint(path, {"a": np.zeros(3), "c": np.zeros(3)})
