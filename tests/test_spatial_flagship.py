@@ -456,3 +456,61 @@ def test_spatial_checkpoint_resume(mesh, tmp_path):
         resumed.pipeline.modules[0]._running,
         full.pipeline.modules[0]._running,
     )
+
+
+def test_composed_checkpoint_resume(mesh, tmp_path):
+    """Checkpoint/resume through the composed DP x spatial driver
+    (SpatialMultiSeqSystem): the stacked per-sequence state and host
+    histogram survive a mid-stream resume bit-exactly."""
+    import json
+
+    from cartslam_tpu.config.registry import read_system_config
+
+    h, w = 96, 128
+    config = {
+        "data_source": {
+            "type": "synthetic", "image_size": [h, w], "num_frames": 4,
+        },
+        "parallel": {"mode": "spatial", "devices": 8, "sequences": 2},
+        "modules": [
+            {"type": "disparity", "num_disparities": 32, "min_disparity": 1,
+             "smoothing_radius": 2, "smoothing_iterations": 1},
+            {"type": "disparity_derivative"},
+            {"type": "depth"},
+            {"type": "optflow", "levels": 3, "search": 2, "refine": 1},
+            {"type": "superpixels", "block_size": 8, "iterations": 4,
+             "initial_iterations": 6, "reset_iterations": 64},
+            {"type": "superpixel_disparity_planeseg",
+             "parameter_provider": {
+                 "type": "static",
+                 "horizontal_range_min": 3, "horizontal_range_max": 40,
+                 "vertical_range_min": -6, "vertical_range_max": 3,
+             },
+             "use_temporal_smoothing": True, "max_warp_y": 8},
+        ],
+    }
+
+    def cfg_path(tag):
+        p = tmp_path / f"composed-{tag}.json"
+        p.write_text(json.dumps(config))
+        return str(p)
+
+    full = read_system_config(cfg_path("full"))
+    assert full.run() == 4 * 2  # frames x sequences
+    ref = full.final_state
+
+    ck = str(tmp_path / "ck.npz")
+    first = read_system_config(cfg_path("first"), checkpoint_path=ck,
+                               checkpoint_interval=2, max_frames=2)
+    first.run()
+    resumed = read_system_config(cfg_path("resumed"), resume_from=ck)
+    assert resumed.run() == 2 * 2  # frames 3..4 on both sequences
+    got = resumed.final_state
+
+    for key in ("labels", "prev_gray", "warp_votes", "prev_unsmoothed"):
+        assert got[key].shape[0] == 2, key  # per-sequence leading axis
+        np.testing.assert_array_equal(got[key], ref[key], err_msg=key)
+    np.testing.assert_array_equal(
+        resumed.pipeline.modules[0]._running,
+        full.pipeline.modules[0]._running,
+    )
