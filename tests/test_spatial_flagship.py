@@ -514,3 +514,56 @@ def test_composed_checkpoint_resume(mesh, tmp_path):
         resumed.pipeline.modules[0]._running,
         full.pipeline.modules[0]._running,
     )
+
+
+def test_spatial_fault_recovery_continues(mesh, tmp_path, monkeypatch):
+    """An injected device-fetch failure in the spatial mode must
+    log-and-continue via snapshot recovery (src/main.cpp:48-54 semantics)
+    — the recovery path re-device_puts a host snapshot onto the sharded
+    step, exercising resharding of the spatial state."""
+    import json
+
+    from cartslam_tpu.config.registry import read_system_config
+
+    h, w = 96, 128
+    config = {
+        "data_source": {
+            "type": "synthetic", "image_size": [h, w], "num_frames": 5,
+        },
+        "parallel": {"mode": "spatial", "devices": 8},
+        "modules": [
+            {"type": "disparity", "num_disparities": 32, "min_disparity": 1},
+            {"type": "disparity_derivative"},
+            {"type": "depth"},
+            {"type": "optflow", "levels": 3, "search": 2, "refine": 1},
+            {"type": "superpixels", "block_size": 8, "iterations": 4,
+             "initial_iterations": 6, "reset_iterations": 64},
+            {"type": "superpixel_disparity_planeseg",
+             "parameter_provider": {
+                 "type": "static",
+                 "horizontal_range_min": 3, "horizontal_range_max": 40,
+                 "vertical_range_min": -6, "vertical_range_max": 3,
+             },
+             "use_temporal_smoothing": True, "max_warp_y": 8},
+        ],
+    }
+    p = tmp_path / "spatial-ft.json"
+    p.write_text(json.dumps(config))
+
+    system = read_system_config(str(p), extra_fetch_keys=["planes"])
+    orig = system._fetch_with_timeout
+    calls = {"n": 0}
+
+    def flaky(outputs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected async device failure")
+        return orig(outputs)
+
+    monkeypatch.setattr(system, "_fetch_with_timeout", flaky)
+    seen = {}
+    n = system.run(on_frame=lambda fid, out: seen.update({fid: out}))
+    assert system.failed_frames, "injected failure was not recorded"
+    assert n >= 3, n
+    assert max(seen) == 5  # the loop reached the end of the sequence
+    assert seen[5]["planes"].shape == (h, w)
