@@ -86,7 +86,9 @@ def main():
     # ~3 ms per dispatch round-trip, which at 17 ms/frame device time is
     # ~18% overhead; chunking amortizes it (frames still run strictly
     # sequentially through the carried state).
-    CHUNK = 8
+    import os
+
+    CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
     raw_step = pipeline.make_step(pipeline.variant(2), fetch)
 
     @jax.jit
@@ -101,7 +103,7 @@ def main():
         image_size=(H, W), num_frames=10, max_disparity=160.0, baseline=40.0
     )
     frame_list = []
-    for i in range(8):
+    for i in range(max(8, CHUNK)):
         f = src.get_next()
         frame_list.append(
             {
