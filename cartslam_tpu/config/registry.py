@@ -381,6 +381,7 @@ def _build_spatial_pipeline(parallel: dict, ctx, modules, source_cfg):
         kw["flow_halo"] = min(46, h_local)
     if "flow_mode" in parallel:
         kw["flow_mode"] = str(parallel["flow_mode"])
+    kw["grayscale"] = bool(ctx.grayscale)
     cfg = SpatialFlagshipConfig(**kw)
     return SpatialPipeline(
         mesh, ctx, cfg, sp.provider,

@@ -107,6 +107,9 @@ class SpatialFlagshipConfig(NamedTuple):
     # per-shard apron pyramids — ~1/n the flow FLOPs per chip, at the
     # cost of that approximation.
     flow_mode: str = "global"
+    # Whole-pipeline grayscale switch: frames arrive single-channel from
+    # the System source boundary (CARTSLAM_IMAGE_MAKE_GRAYSCALE).
+    grayscale: bool = False
     axis: str = "spatial"
 
 
@@ -194,8 +197,15 @@ class SpatialFlagship:
 
         left, right = frame["left"], frame["right"]
         frame_id = frame["frame_id"]
-        gray_l = color.bgr_to_gray(left)
-        gray_r = color.bgr_to_gray(right)
+        if c.grayscale:
+            # Whole-pipeline grayscale switch: the System loop already
+            # converted at the source boundary (runtime/system.py), so
+            # frames arrive single-channel (CARTSLAM_IMAGE_MAKE_GRAYSCALE
+            # semantics, src/datasource.cpp:6-16).
+            gray_l, gray_r = left, right
+        else:
+            gray_l = color.bgr_to_gray(left)
+            gray_r = color.bgr_to_gray(right)
 
         # --- SGM (exact split-scan vertical seams) + interpolation -------
         disparity = sgm_disparity_sharded(
@@ -296,14 +306,23 @@ class SpatialFlagship:
             # block grid restricted to this shard's rows.
             full = jnp.asarray(self._block_labels())
             labels0 = jax.lax.dynamic_slice_in_dim(full, row0, self.h_local, 0)
-        ycrcb = color.bgr_to_ycrcb(left).astype(jnp.float32)
+        if c.grayscale:
+            # 1-channel image feature, matching SuperPixelModule's
+            # ctx.grayscale path.
+            ycrcb = left[..., None].astype(jnp.float32)
+            img_channels = 1
+        else:
+            ycrcb = color.bgr_to_ycrcb(left).astype(jnp.float32)
+            img_channels = 3
         lab_ext = exchange_row_halo(labels0, halo, halo, ax, fill=-1)
         deriv_f = deriv.astype(jnp.float32)
         deriv_ext_f = exchange_row_halo(deriv_f, halo, halo, ax)
         ycrcb_ext = exchange_row_halo(ycrcb, halo, halo, ax)
         specs = [
             spops.FeatureSpec("gaussian", c.disparity_weight, 2),
-            spops.FeatureSpec("gaussian", c.image_weight, 3, bounds=(0, 255)),
+            spops.FeatureSpec(
+                "gaussian", c.image_weight, img_channels, bounds=(0, 255)
+            ),
             spops.FeatureSpec(
                 "compactness", c.compactness_weight, 2,
                 c.progressive_compactness_cost,

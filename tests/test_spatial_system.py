@@ -206,3 +206,46 @@ def test_spatial_fault_recovery_continues(mesh, tmp_path, monkeypatch):
     assert n >= 3, n
     assert max(seen) == 5  # the loop reached the end of the sequence
     assert seen[5]["planes"].shape == (h, w)
+
+
+def test_spatial_grayscale(mesh, tmp_path):
+    """The whole-pipeline grayscale switch must work in spatial mode:
+    frames arrive single-channel from the source boundary and the
+    sharded step runs the 1-channel image feature (previously the step
+    assumed BGR and indexed channels of a 2-D array)."""
+    import json
+
+    from cartslam_tpu.config.registry import read_system_config
+
+    h, w = 96, 128
+    config = {
+        "data_source": {
+            "type": "synthetic", "image_size": [h, w], "num_frames": 3,
+        },
+        "grayscale": True,
+        "parallel": {"mode": "spatial", "devices": 8},
+        "modules": [
+            {"type": "disparity", "num_disparities": 32, "min_disparity": 1},
+            {"type": "disparity_derivative"},
+            {"type": "depth"},
+            {"type": "optflow", "levels": 3, "search": 2, "refine": 1},
+            {"type": "superpixels", "block_size": 8, "iterations": 4,
+             "initial_iterations": 6, "reset_iterations": 64},
+            {"type": "superpixel_disparity_planeseg",
+             "parameter_provider": {
+                 "type": "static",
+                 "horizontal_range_min": 3, "horizontal_range_max": 40,
+                 "vertical_range_min": -6, "vertical_range_max": 3,
+             },
+             "use_temporal_smoothing": True, "max_warp_y": 8},
+        ],
+    }
+    p = tmp_path / "spatial-gray.json"
+    p.write_text(json.dumps(config))
+
+    system = read_system_config(str(p), extra_fetch_keys=["planes"])
+    seen = {}
+    n = system.run(on_frame=lambda fid, out: seen.update({fid: out}))
+    assert n == 3
+    assert not system.failed_frames
+    assert seen[3]["planes"].shape == (h, w)
