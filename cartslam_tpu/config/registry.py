@@ -287,7 +287,14 @@ def _build_spatial_pipeline(parallel: dict, ctx, modules, source_cfg):
 
     by_type = {}
     for m in modules:
-        by_type[type(m).__name__] = m
+        name = type(m).__name__
+        if name in by_type:
+            # The standard Pipeline rejects duplicate providers
+            # (runtime/pipeline.py); don't silently keep the last one.
+            raise ValueError(
+                f"spatial mode: duplicate module type {name} in config"
+            )
+        by_type[name] = m
     supported = {
         "ImageDisparityModule", "ImageDisparityDerivativeModule",
         "DepthModule", "ImageOpticalFlowModule", "SuperPixelModule",
