@@ -10,7 +10,7 @@ Gaussian/compactness delta costs and the clique costs are VPU chains on
 
 Semantics are IDENTICAL to the jnp path (same traversal order, same
 strict-< tie-break, same edge conventions: OOB candidate labels masked,
-edge-clamped stat halos); tests/test_superpixels_pallas.py asserts
+edge-clamped stat halos); tests/test_relax_pallas.py asserts
 bit-equality in interpret mode.  Fixed-table ('frame') statistics mode
 only — the carried stat image is updated from the winning candidate's
 rows exactly like the jnp path.

@@ -245,11 +245,22 @@ class BEVVisualization(HostModule):
         r, c, y, z = r[keep], c[keep], y[keep], z[keep]
         ch = np.where(y > -0.5, 0, 1)
         dec = np.ceil(1 * (z / 3 + 1)).astype(np.int32)
-        for rr, cc, chh, dd in zip(r, c, ch, dec):
-            cur = int(out[rr, cc, chh])
-            cur = max(cur - dd, 0)
-            out[rr, cc, chh] = cur
-            out[rr, cc, 2] = cur
+        # Vectorized form of the reference's sequential per-pixel decay
+        # (planeseg_vis.cu:58-107): per-step saturation at 0 is equivalent
+        # to saturating the summed decrement, and the blue channel ends at
+        # the final value of whichever channel the LAST point hitting that
+        # cell voted for (numpy fancy assignment keeps last-write-wins).
+        if r.size:
+            cell = r.astype(np.int64) * cols + c
+            tot = np.bincount(cell * 2 + ch, weights=dec, minlength=rows * cols * 2)
+            vals = np.maximum(255.0 - tot, 0.0).astype(np.uint8).reshape(rows, cols, 2)
+            out[..., :2] = vals
+            last = np.full(rows * cols, -1, np.int64)
+            last[cell] = np.arange(cell.size)
+            touched = np.flatnonzero(last >= 0)
+            out.reshape(-1, 3)[touched, 2] = vals.reshape(-1, 2)[
+                touched, ch[last[touched]]
+            ]
         return np.repeat(np.repeat(out, 2, axis=0), 2, axis=1)
 
 
