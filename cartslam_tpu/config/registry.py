@@ -17,7 +17,12 @@ from .. import models
 from ..runtime.module import HostModule, Module, PipelineContext
 from ..runtime.pipeline import Pipeline
 from ..runtime.system import System
-from ..sources import KITTIDataSource, SyntheticDataSource, ZEDDataSource
+from ..sources import (
+    DataSource,
+    KITTIDataSource,
+    SyntheticDataSource,
+    ZEDDataSource,
+)
 from ..utils.plane_params import (
     HistogramPeakPlaneParameterProvider,
     StaticPlaneParameterProvider,
@@ -410,7 +415,10 @@ def build_system(
     parallel: dict | None = None,
     **system_kwargs,
 ) -> System:
-    source = create_data_source(source_cfg)
+    if isinstance(source_cfg, DataSource):
+        source = source_cfg  # pre-constructed (e.g. PreloadedSource)
+    else:
+        source = create_data_source(source_cfg)
     h, w = source.get_image_size()
     st = ConfigState((h, w))
 

@@ -30,7 +30,7 @@ import numpy as np
 from .module import HostModule
 from .pipeline import Pipeline
 from .timing import TimingWriter
-from ..utils.watchdog import run_with_timeout
+from ..utils.watchdog import start_fetch
 
 log = logging.getLogger("cart.system")
 
@@ -172,17 +172,28 @@ class System:
     # --------------------------------------------------------------- fetching
 
     def _fetch_with_timeout(self, outputs) -> dict[str, np.ndarray]:
-        """Materialize device outputs on host, bounded by the data watchdog.
+        """Materialize device outputs on host (runs on the fetch thread).
 
-        Each fetch runs on a fresh daemon thread (utils/watchdog.py): a
-        hung transfer is abandoned, never stranding a shared pool worker
-        that later healthy fetches would queue behind.
-        """
+        The data-watchdog bound is applied when the result is JOINED
+        (_join_fetch), not here — fault-injection tests patch this method
+        to simulate hung or failing transfers."""
+        return {k: np.asarray(v) for k, v in outputs.items()}
+
+    def _start_fetch(self, outputs):
+        """Begin materializing device outputs on host (eager drain).
+
+        The fetch starts on its own daemon thread at DISPATCH time, so the
+        device->host transfer latency of frame N overlaps the dispatch of
+        frames N+1..N+k instead of serializing the loop — the same reason
+        the reference fetches through its promise store's worker threads
+        (src/utils/data.cpp).  A hung transfer is abandoned at join time
+        (utils/watchdog.py), never stranding a shared pool worker."""
+        return start_fetch(lambda: self._fetch_with_timeout(outputs))
+
+    def _join_fetch(self, fetch_handle) -> dict[str, np.ndarray]:
+        """Join an eager fetch, bounded by the data watchdog (20 s)."""
         try:
-            return run_with_timeout(
-                lambda: {k: np.asarray(v) for k, v in outputs.items()},
-                self.data_timeout,
-            )
+            return fetch_handle.result(self.data_timeout)
         except TimeoutError:
             raise DataNotAvailableException(
                 f"frame results not available within {self.data_timeout}s"
@@ -230,16 +241,19 @@ class System:
             caller must recover state.
             """
             nonlocal processed
-            fid, handle, frame_np, outputs = in_flight.popleft()
+            fid, handle, frame_np, fetch_handle = in_flight.popleft()
             try:
-                fetched = self._fetch_with_timeout(outputs)
+                fetched = self._join_fetch(fetch_handle)
             except Exception:
                 log.error(
                     "frame %d failed (async):\n%s", fid, traceback.format_exc()
                 )
                 self.failed_frames.append(fid)
                 return False
-            self.timing.end_timing(handle)
+            # End the frame's timing row at the fetch's actual completion
+            # time, not the (possibly later) join.
+            handle.end = fetch_handle.t_end_ms
+            self.timing.end_timing_at(handle)
             self._retain(fid, fetched)
             try:
                 self._host_post_frame(fid, frame_np, fetched, host_params)
@@ -300,7 +314,9 @@ class System:
                 need_recovery = True
                 continue
 
-            in_flight.append((frame_id, handle, frame_np, outputs))
+            in_flight.append(
+                (frame_id, handle, frame_np, self._start_fetch(outputs))
+            )
             while len(in_flight) >= self.max_in_flight:
                 if not drain_one():
                     need_recovery = True

@@ -6,7 +6,16 @@ in the prefetch thread -> host->device upload -> jitted step -> watchdogged
 result drain -> host histogram/provider updates, over a KITTI-geometry
 synthetic dataset written to disk as real PNG files.
 
+Two isolation modes separate the host loop from its inputs:
+  --preloaded  frames staged in RAM (PreloadedSource) — the full flagship
+               System.run without PNG decode in the frame path;
+  --stub       RAM frames + a trivial one-op pipeline — measures the HOST
+               LOOP CEILING (prefetch queue, dispatch, eager watchdogged
+               fetch, retention ring, snapshots, host updates) with the
+               device step out of the picture.
+
 Usage: python scripts/bench_system_run.py [--frames 120] [--sweep]
+                                          [--preloaded] [--stub]
 """
 
 from __future__ import annotations
@@ -51,35 +60,122 @@ def make_dataset(root: str, frames: int, h: int = 376, w: int = 1241):
     return i
 
 
-def run_once(root: str, frames: int, max_in_flight: int, prefetch: int):
-    from cartslam_tpu.config.registry import build_system
+FLAGSHIP_MODULES = [
+    {"type": "disparity", "num_disparities": 256,
+     "smoothing_radius": 2, "smoothing_iterations": 1},
+    {"type": "disparity_derivative"},
+    {"type": "depth"},
+    {"type": "superpixels", "initial_iterations": 24, "iterations": 8},
+    {"type": "optflow"},
+    {"type": "superpixel_disparity_planeseg",
+     "use_temporal_smoothing": True,
+     "parameter_provider": {"type": "histogram_peak"}},
+]
 
-    source_cfg = {"type": "kitti", "path": root, "sequence": 0}
-    modules_cfg = [
-        {"type": "disparity", "num_disparities": 256,
-         "smoothing_radius": 2, "smoothing_iterations": 1},
-        {"type": "disparity_derivative"},
-        {"type": "depth"},
-        {"type": "superpixels", "initial_iterations": 24, "iterations": 8},
-        {"type": "optflow"},
-        {"type": "superpixel_disparity_planeseg",
-         "use_temporal_smoothing": True,
-         "parameter_provider": {"type": "histogram_peak"}},
-    ]
-    system = build_system(
-        source_cfg, modules_cfg,
-        max_in_flight=max_in_flight, prefetch_depth=prefetch,
-        snapshot_interval=0,
-    )
+
+def _timed_run(system):
     stamps = []
     t0 = time.perf_counter()
     n = system.run(on_frame=lambda fid, out: stamps.append(time.perf_counter()))
     wall = time.perf_counter() - t0
-
     # Steady-state fps over the second half (skips compile + warmup).
     half = stamps[len(stamps) // 2:]
     steady = (len(half) - 1) / (half[-1] - half[0]) if len(half) > 2 else 0.0
+    return n, wall, steady
+
+
+def _preloaded_source(frames: int, unique: int = 16,
+                      h: int = 376, w: int = 1241):
+    from cartslam_tpu.sources.preloaded import PreloadedSource
+    from cartslam_tpu.sources.synthetic import SyntheticDataSource
+
+    src = SyntheticDataSource(
+        image_size=(h, w), num_frames=unique, seed=0,
+        max_disparity=80.0, baseline=20.0,
+    )
+    return PreloadedSource.wrap(
+        src, loop=(frames + unique - 1) // unique
+    )
+
+
+def _make_stub_module():
+    """Minimal device module: a planes-sized int8 output from one cheap
+    op, so the System exercises a real dispatch + fetch per frame while
+    the device step costs ~nothing."""
+    import jax
+
+    from cartslam_tpu.runtime.module import Module
+
+    class StubModule(Module):
+        name = "stub"
+
+        def provides(self):
+            return ["stub_planes"]
+
+        def output_spec(self, ctx):
+            return {"stub_planes": jax.ShapeDtypeStruct(
+                (ctx.height, ctx.width), "int8")}
+
+        def host_fetch_keys(self):
+            return ["stub_planes"]
+
+        def compute(self, ctx, step, deps, state, params, variant):
+            left = step.frame["left"]
+            gray = left.mean(axis=-1) if left.ndim == 3 else left
+            return {"stub_planes": (gray > 128).astype("int8")}, {}
+
+    return StubModule()
+
+
+def run_isolated(frames: int, max_in_flight: int, prefetch: int,
+                 stub: bool):
+    """--preloaded / --stub: RAM-staged frames through the real System."""
+    from cartslam_tpu.config.registry import build_system
+    from cartslam_tpu.runtime.module import PipelineContext
+    from cartslam_tpu.runtime.pipeline import Pipeline
+    from cartslam_tpu.runtime.system import System
+
+    source = _preloaded_source(frames)
+    if stub:
+        h, w = source.get_image_size()
+        ctx = PipelineContext(
+            height=h, width=w,
+            q=np.asarray(source.get_camera_intrinsics().q, np.float32),
+        )
+        system = System(
+            source, Pipeline(ctx, [_make_stub_module()]),
+            max_in_flight=max_in_flight, prefetch_depth=prefetch,
+        )
+    else:
+        system = build_system(
+            source, FLAGSHIP_MODULES,
+            max_in_flight=max_in_flight, prefetch_depth=prefetch,
+            snapshot_interval=0,
+        )
+    n, wall, steady = _timed_run(system)
     return {
+        "mode": "stub_host_ceiling" if stub else "preloaded_flagship",
+        "frames": n,
+        "wall_s": round(wall, 2),
+        "fps_total": round(n / wall, 2),
+        "fps_steady": round(steady, 2),
+        "max_in_flight": max_in_flight,
+        "prefetch_depth": prefetch,
+    }
+
+
+def run_once(root: str, frames: int, max_in_flight: int, prefetch: int):
+    from cartslam_tpu.config.registry import build_system
+
+    source_cfg = {"type": "kitti", "path": root, "sequence": 0}
+    system = build_system(
+        source_cfg, FLAGSHIP_MODULES,
+        max_in_flight=max_in_flight, prefetch_depth=prefetch,
+        snapshot_interval=0,
+    )
+    n, wall, steady = _timed_run(system)
+    return {
+        "mode": "kitti_png",
         "frames": n,
         "wall_s": round(wall, 2),
         "fps_total": round(n / wall, 2),
@@ -95,13 +191,26 @@ def main():
     ap.add_argument("--root", default="/tmp/cart_kitti_bench")
     ap.add_argument("--sweep", action="store_true")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--preloaded", action="store_true",
+                    help="frames staged in RAM (no PNG decode)")
+    ap.add_argument("--stub", action="store_true",
+                    help="RAM frames + trivial pipeline: host-loop ceiling")
+    ap.add_argument("--max-in-flight", type=int, default=4)
+    ap.add_argument("--prefetch", type=int, default=12)
     args = ap.parse_args()
+
+    if args.preloaded or args.stub:
+        r = run_isolated(
+            args.frames, args.max_in_flight, args.prefetch, stub=args.stub
+        )
+        print(json.dumps(r))
+        return
 
     if not os.path.exists(os.path.join(args.root, "sequences", "00", "calib.txt")):
         n = make_dataset(args.root, args.frames)
         print(f"dataset: {n} stereo PNG pairs at {args.root}", file=sys.stderr)
 
-    combos = [(4, 12)]
+    combos = [(args.max_in_flight, args.prefetch)]
     if args.sweep:
         combos = [(2, 12), (4, 12), (8, 12), (4, 4), (8, 24)]
     for mif, pre in combos:
