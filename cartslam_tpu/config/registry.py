@@ -109,6 +109,7 @@ def _build_module(cfg: dict, st: ConfigState):
             search=g("search", 4),
             refine=g("refine", 2),
             base_level=g("base_level", 1),
+            med_passes=g("med_passes", 2),
         )
     if mtype == "superpixels":
         direct = g("direct_clique_cost", 0.5)
@@ -381,6 +382,7 @@ def _build_spatial_pipeline(parallel: dict, ctx, modules, source_cfg):
         kw.update(
             flow_levels=flow.levels, flow_search=flow.search,
             flow_refine=flow.refine, flow_base_level=flow.base_level,
+            flow_med_passes=flow.med_passes,
         )
     # Approximation-depth knobs: halos cannot exceed one shard's rows.
     if "sgm_halo" in parallel:

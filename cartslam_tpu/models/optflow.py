@@ -30,6 +30,7 @@ class ImageOpticalFlowModule(Module):
         refine: int = 2,
         base_level: int = 1,
         fine_refine: int = 1,
+        med_passes: int = 2,
     ):
         self.image_size = image_size
         self.levels = levels
@@ -37,6 +38,7 @@ class ImageOpticalFlowModule(Module):
         self.refine = refine
         self.base_level = base_level
         self.fine_refine = fine_refine
+        self.med_passes = med_passes
 
     def provides(self):
         return [KEY_OPTFLOW]
@@ -60,6 +62,7 @@ class ImageOpticalFlowModule(Module):
             refine=self.refine,
             base_level=self.base_level,
             fine_refine=self.fine_refine,
+            med_passes=self.med_passes,
         )
         out = fops.to_s10_5(flow)
         out = jnp.where(step.frame_id > 1, out, jnp.zeros_like(out))

@@ -92,6 +92,7 @@ class SpatialFlagshipConfig(NamedTuple):
     flow_search: int = 4
     flow_refine: int = 2
     flow_base_level: int = 1
+    flow_med_passes: int = 2
     # Unused since r4 (exact split-scan seams, parallel/sgm_sharded.py);
     # kept so existing configs/kwargs keep loading.
     sgm_halo: int = 24
@@ -271,6 +272,7 @@ class SpatialFlagship:
                 cur_full, prev_full,
                 levels=c.flow_levels, search=c.flow_search,
                 refine=c.flow_refine, base_level=c.flow_base_level,
+                med_passes=c.flow_med_passes,
             )
             flow = optflow.to_s10_5(
                 jax.lax.dynamic_slice_in_dim(
@@ -286,6 +288,7 @@ class SpatialFlagship:
                 cur_ext, prev_ext,
                 levels=c.flow_levels, search=c.flow_search,
                 refine=c.flow_refine, base_level=c.flow_base_level,
+                med_passes=c.flow_med_passes,
             )
             flow = optflow.to_s10_5(flow_ext[fh:-fh])
         flow = jnp.where(frame_id > 1, flow, jnp.zeros_like(flow))

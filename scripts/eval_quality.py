@@ -22,6 +22,22 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def natural_texture(h: int, w: int) -> "np.ndarray":
+    """Grayscale float32 texture from a real photograph (matplotlib's
+    grace_hopper sample) — natural image statistics instead of the
+    procedural multi-octave noise, tiled horizontally if needed."""
+    import cv2
+    import matplotlib
+
+    path = matplotlib.cbook.get_sample_data("grace_hopper.jpg", asfileobj=False)
+    img = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE).astype(np.float32)
+    reps = int(np.ceil(w / img.shape[1] * 1.0)) + 1
+    # Mirror-tile so seams don't introduce a hard synthetic edge.
+    tiles = [img if i % 2 == 0 else img[:, ::-1] for i in range(reps)]
+    wide = np.concatenate(tiles, axis=1)
+    return cv2.resize(wide, (w, h), interpolation=cv2.INTER_AREA)
+
+
 def evaluate(
     stats_refresh="phase",
     frames=8,
@@ -31,6 +47,7 @@ def evaluate(
     image_size=(96, 320),
     num_disparities=32,
     flow_kwargs=None,
+    texture="procedural",
 ):
     import jax
 
@@ -45,11 +62,16 @@ def evaluate(
     src = SyntheticDataSource(
         image_size=(h, w), num_frames=frames, max_disparity=20, baseline=2.0
     )
+    if texture == "natural":
+        # Same scene geometry and ground truth, REAL image statistics:
+        # the full flagship (disparity -> derivative -> superpixels ->
+        # flow -> planeseg) runs on a photograph-textured scene.
+        src._tex = natural_texture(*src._tex.shape)
     pipeline = _flagship_pipeline(
         h, w, num_disparities=num_disparities, temporal=True,
         stats_refresh=stats_refresh,
     )
-    fetch = frozenset({"planes", "superpixels", "optflow"})
+    fetch = frozenset({"planes", "superpixels", "optflow", "disparity"})
     state = jax.device_put(pipeline.init_state())
     params = pipeline.init_host_params()
 
@@ -77,8 +99,20 @@ def evaluate(
     mask = np.zeros((h, w), bool)
     mask[8:-8, 12:-12] = True
 
+    # Disparity accuracy vs the scene's exact field (int16 x16 contract).
+    disp = np.asarray(out["disparity"]).astype(np.float32) / 16.0
+    gt_disp = src.ground_truth_disparity(last)
+    interior = np.zeros((h, w), bool)
+    interior[4:-4, num_disparities + 8 : -8] = True
+    searchable = interior & (gt_disp >= 5.0)  # below minD+1 = invalid by design
+    valid = disp > 0
+    disp_err = np.abs(disp - gt_disp)[searchable & valid]
+
     return {
         "stats_refresh": stats_refresh,
+        "texture": texture,
+        "disp_valid_frac": round(float(valid[searchable].mean()), 4),
+        "disp_med_err_px": round(float(np.median(disp_err)), 4),
         "boundary_recall": round(quality.boundary_recall(gt_regions, sp), 4),
         "underseg_error": round(
             quality.undersegmentation_error(gt_regions, sp), 4
@@ -107,11 +141,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stats-refresh", default=None)
     ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--texture", default="procedural",
+                    choices=["procedural", "natural"])
     args = ap.parse_args()
 
     modes = [args.stats_refresh] if args.stats_refresh else ["phase", "frame"]
     for mode in modes:
-        print(json.dumps(evaluate(stats_refresh=mode, frames=args.frames)))
+        print(json.dumps(evaluate(
+            stats_refresh=mode, frames=args.frames, texture=args.texture
+        )))
 
 
 if __name__ == "__main__":

@@ -118,6 +118,54 @@ def test_sgm_cross_checks_opencv_sgbm_on_natural_texture():
     assert np.median(err_ours) <= np.median(err_ref) + 0.25
 
 
+def test_flow_cross_checks_farneback_on_natural_pan():
+    """Our pyramidal block-matching flow vs cv2.calcOpticalFlowFarneback
+    on a real photograph translated by a known (4, 2) px pan (the
+    reference's NVOF is a block-matcher of the same family,
+    src/modules/optflow.cpp:58-70).
+
+    Gates are distribution-aware: our matcher is LOCAL (no global
+    smoothness propagation — the downstream consumer warps integer
+    pixels and votes per superpixel, planeseg.cu:215-221), so flat
+    photo regions are genuinely ambiguous for it while Farneback's
+    polynomial expansion coasts through them.  The pixel-median must
+    match Farneback's; the mean over *textured* pixels must be small."""
+    from cartslam_tpu.ops import optflow
+
+    h, w = 128, 256
+    mx, my = 4, 2
+    base = _natural_image(h + 8, w + 16)
+    prev = base[4 : 4 + h, 8 : 8 + w]
+    cur = base[4 - my : 4 - my + h, 8 - mx : 8 - mx + w]
+
+    ours = np.asarray(
+        optflow.dense_flow(jnp.asarray(cur), jnp.asarray(prev))
+    )
+    fb = cv2.calcOpticalFlowFarneback(
+        prev, cur, None, 0.5, 3, 15, 3, 5, 1.2, 0
+    )
+
+    interior = np.zeros((h, w), bool)
+    interior[12:-12, 12:-12] = True
+    gx = cv2.Sobel(cur.astype(np.float32), cv2.CV_32F, 1, 0)
+    gy = cv2.Sobel(cur.astype(np.float32), cv2.CV_32F, 0, 1)
+    textured = interior & (np.sqrt(gx * gx + gy * gy) > 50)
+    assert textured.mean() > 0.2  # the crop must actually have texture
+
+    gt = np.array([mx, my], np.float32)
+    epe_ours = np.linalg.norm(ours - gt, axis=-1)
+    epe_fb = np.linalg.norm(fb - gt, axis=-1)
+    # Majority of ALL pixels recover the pan (median EPE ~0 measured),
+    # matching Farneback's median.
+    assert np.median(epe_ours[interior]) <= 0.5, np.median(epe_ours[interior])
+    assert (
+        np.median(epe_ours[interior]) <= np.median(epe_fb[interior]) + 0.5
+    )
+    # Textured pixels: mean EPE bounded (measured 1.8 px at the flagship
+    # half-res config; the tail is repeated-texture ambiguity).
+    assert epe_ours[textured].mean() <= 2.5, epe_ours[textured].mean()
+
+
 def test_sgm_dense_validity_on_natural_texture():
     """On well-textured natural imagery the SGM must produce a dense valid
     field (no synthetic-texture crutch)."""
