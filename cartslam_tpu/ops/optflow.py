@@ -21,8 +21,26 @@ import jax.numpy as jnp
 
 
 def _avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 mean downsample as two banded matmuls.
+
+    The naive reshape(h//2, 2, w//2, 2).mean((1, 3)) forces a lane-
+    interleaving relayout copy + a strided reduce on TPU (~0.35 ms per
+    full-res image at KITTI geometry — profiled r5); the same contraction
+    as [h/2, h] @ x @ [w, w/2] banded 0.5-matrices rides the MXU for
+    ~0.01 ms.  Bit-exact vs the reshape path: operands are integer-valued
+    u8 images scaled by 4^-level, every product and partial sum is
+    exactly representable in f32 (precision=HIGHEST keeps the MXU from
+    rounding through bf16)."""
     h, w = x.shape
-    return x.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    ri = jax.lax.broadcasted_iota(jnp.int32, (h // 2, h), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (h // 2, h), 1)
+    ah = jnp.where(ci // 2 == ri, jnp.float32(0.5), 0.0)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (w, w // 2), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (w, w // 2), 1)
+    aw = jnp.where(ri // 2 == ci, jnp.float32(0.5), 0.0)
+    return jnp.dot(
+        jnp.dot(ah, x, precision="highest"), aw, precision="highest"
+    )
 
 
 def _box_sum(x: jnp.ndarray, r: int) -> jnp.ndarray:

@@ -238,6 +238,268 @@ def _make_btwta_kernel(
     return kernel
 
 
+def _make_vcarry(d, p1, p2, rows_per_step, backward):
+    """Settle-phase kernel for the sharded split-scan chain: advance the
+    [D, wt] carry across every row block (same `_recurrence` as the output
+    sweeps), emitting ONLY the final carry — no S volume writes.  Used by
+    `sgm_fused_pallas_sharded` to compute each shard's hand-off carry."""
+    acc = _acc_dtype(p1, p2)
+
+    def kernel(cin, c_in, cout, carry):
+        i = pl.program_id(1)
+        nb = pl.num_programs(1)
+
+        @pl.when(i == 0)
+        def _():
+            carry[...] = cin[...]
+
+        for rr in range(rows_per_step):
+            r = rows_per_step - 1 - rr if backward else rr
+            carry[...] = _recurrence(carry[...], c_in[r].astype(acc), p1, p2)
+
+        @pl.when(i == nb - 1)
+        def _():
+            cout[...] = carry[...]
+
+    return kernel
+
+
+def _make_vsweep_cin(d, p1, p2, rows_per_step, backward, s_dtype):
+    """`_make_vsweep` with an explicit initial carry (the predecessor
+    shard's settled hand-off) instead of a zero reset."""
+    acc = _acc_dtype(p1, p2)
+
+    def kernel(cin, c_in, s_out, carry):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            carry[...] = cin[...]
+
+        for rr in range(rows_per_step):
+            r = rows_per_step - 1 - rr if backward else rr
+            new = _recurrence(carry[...], c_in[r].astype(acc), p1, p2)
+            carry[...] = new
+            s_out[r] = new.astype(s_dtype)
+
+    return kernel
+
+
+def _make_btwta_cin_kernel(
+    rps, d, wv, p1, p2, min_disparity, uniqueness, subpixel, lr_check, real_w
+):
+    """`_make_btwta_kernel` with an explicit initial bottom-up carry."""
+    from .wta import wta_lr_row
+
+    acc = _acc_dtype(p1, p2)
+
+    def kernel(cin, c_in, slr, srl, stb, out_ref, carry):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            carry[...] = cin[...]
+
+        for rr in range(rps):
+            r = rps - 1 - rr  # bottom-up within the block
+            new = _recurrence(carry[...], c_in[r].astype(acc), p1, p2)
+            carry[...] = new
+            s = (
+                slr[r].astype(acc)
+                + srl[r].astype(acc)
+                + stb[r].astype(acc)
+                + new
+            )
+            out_ref[0, r] = wta_lr_row(
+                s, min_disparity, uniqueness, subpixel, lr_check, real_w
+            )
+
+    return kernel
+
+
+def sgm_fused_pallas_sharded(
+    left_census: tuple[jnp.ndarray, jnp.ndarray],
+    right_census: tuple[jnp.ndarray, jnp.ndarray],
+    *,
+    axis_name: str,
+    min_disparity: int,
+    num_disparities: int,
+    p1: int = 10,
+    p2: int = 120,
+    uniqueness: int = 12,
+    subpixel: bool = True,
+    lr_check: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Height-sharded `sgm_fused_pallas`: bit-equal to the full frame.
+
+    Runs INSIDE a shard_map over `axis_name` on each shard's census rows.
+    The census cost, horizontal sweeps, WTA, uniqueness, subpixel and LR
+    check are row-local, so each shard runs the same fused kernels as the
+    single-chip path; the two vertical recurrences are made exact across
+    shard seams by the split-scan carry hand-off of
+    parallel/sgm_sharded.py (`_vertical_chain`): n-1 settle sweeps of the
+    tiny [D, W] carry (a carry-only kernel, no S writes) chained through
+    `ppermute`, then one output sweep seeded with the true predecessor
+    carry.  Replaces that module's XLA scans as the TPU path — the scans
+    cost ~1.8x the fused kernels at equal geometry (VERDICT r4 item 4).
+
+    Row blocks are 1 row tall (shard heights like KITTI's 376/8 = 47 are
+    not multiples of 8), and the shard's row count is used unpadded — the
+    vertical chain must never pass a carry through fake rows.
+    """
+    d = num_disparities
+    h, w = left_census[0].shape
+    cps = 8
+    wb = _round_up(w, cps)
+    pad = min_disparity + d - 1 + 8
+    vol_dtype = jnp.uint8 if _COST_INVALID + p2 <= 255 else jnp.int16
+    acc = _acc_dtype(p1, p2)
+    vma = {"vma": frozenset({axis_name})}
+
+    wv = _round_up(wb, 128)
+    wt = wv
+    while wt * d * (1 * 3 + 4) > 6 * 1024 * 1024 and wt % 2 == 0 and wt > 128:
+        wt //= 2
+    if wt % 128 != 0:
+        wt = _round_up(wt, 128)
+    wv = _round_up(wv, wt)
+    wtiles = wv // wt
+
+    def prep(a):
+        at = jnp.transpose(a, (1, 0))  # [W, h]
+        return jnp.pad(at, ((pad, wb - w + 8), (0, 0)))
+
+    cl0, cl1 = prep(left_census[0]), prep(left_census[1])
+    cr0, cr1 = prep(right_census[0]), prep(right_census[1])
+
+    census_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    nblocks = wb // cps
+
+    fwd = pl.pallas_call(
+        _make_hsweep(h, wb, d, pad, min_disparity, p1, p2, cps,
+                     backward=False, real_w=w, s_dtype=vol_dtype),
+        grid=(nblocks,),
+        in_specs=[census_spec] * 4,
+        out_specs=[
+            pl.BlockSpec((cps, d, h), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cps, d, h), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((wv, d, h), vol_dtype, **vma),
+            jax.ShapeDtypeStruct((wv, d, h), jnp.int8, **vma),
+        ],
+        scratch_shapes=[pltpu.VMEM((d, h), acc)],
+        interpret=interpret,
+    )
+    s_lr, cost_wdh = fwd(cl0, cl1, cr0, cr1)
+
+    bwd = pl.pallas_call(
+        _make_hsweep(h, wb, d, pad, min_disparity, p1, p2, cps,
+                     backward=True, real_w=w, s_dtype=vol_dtype),
+        grid=(nblocks,),
+        in_specs=[census_spec] * 4,
+        out_specs=pl.BlockSpec(
+            (cps, d, h), lambda i: (nblocks - 1 - i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((wv, d, h), vol_dtype, **vma),
+        scratch_shapes=[pltpu.VMEM((d, h), acc)],
+        interpret=interpret,
+    )
+    s_rl = bwd(cl0, cl1, cr0, cr1)
+
+    def to_hdw(vol):
+        return jnp.transpose(vol, (2, 1, 0))  # [h, D, Wv]
+
+    cost_hdw = to_hdw(cost_wdh)
+    slr_hdw = to_hdw(s_lr)
+    srl_hdw = to_hdw(s_rl)
+
+    # --- split-scan vertical chains (mirrors sgm_sharded._vertical_chain)
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    # cost * 0 (not literal zeros) so the carry inherits the varying-
+    # manual-axes type under shard_map (same trick as _vertical_chain).
+    zero = cost_hdw[0].astype(jnp.int32) * 0
+    cin_spec = pl.BlockSpec((d, wt), lambda j, i: (0, j),
+                            memory_space=pltpu.VMEM)
+    cost_spec = pl.BlockSpec((1, d, wt), lambda j, i: (i, 0, j),
+                             memory_space=pltpu.VMEM)
+
+    def vcarry(carry_in, backward):
+        spec = pl.BlockSpec(
+            (1, d, wt),
+            (lambda j, i: (h - 1 - i, 0, j)) if backward
+            else (lambda j, i: (i, 0, j)),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            _make_vcarry(d, p1, p2, 1, backward),
+            grid=(wtiles, h),
+            in_specs=[cin_spec, spec],
+            out_specs=pl.BlockSpec((d, wt), lambda j, i: (0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((d, wv), jnp.int32, **vma),
+            scratch_shapes=[pltpu.VMEM((d, wt), acc)],
+            interpret=interpret,
+        )(carry_in, cost_hdw)
+
+    def settled_carry(backward):
+        if backward:
+            perm = [(i, i - 1) for i in range(1, n)]
+            edge = n - 1
+        else:
+            perm = [(i, i + 1) for i in range(n - 1)]
+            edge = 0
+
+        def settle(_, carry):
+            fin = vcarry(carry, backward)
+            recv = jax.lax.ppermute(fin, axis_name, perm)
+            return jnp.where(idx == edge, zero, recv)
+
+        return jax.lax.fori_loop(0, n - 1, settle, zero)
+
+    tb_cin = settled_carry(backward=False)
+    s_tb = pl.pallas_call(
+        _make_vsweep_cin(d, p1, p2, 1, backward=False, s_dtype=vol_dtype),
+        grid=(wtiles, h),
+        in_specs=[cin_spec, cost_spec],
+        out_specs=pl.BlockSpec((1, d, wt), lambda j, i: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, d, wv), vol_dtype, **vma),
+        scratch_shapes=[pltpu.VMEM((d, wt), acc)],
+        interpret=interpret,
+    )(tb_cin, cost_hdw)
+
+    bt_cin = settled_carry(backward=True)
+    spec2 = lambda: pl.BlockSpec(
+        (1, d, wv), lambda i: (h - 1 - i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _make_btwta_cin_kernel(
+            1, d, wv, p1, p2, min_disparity, uniqueness, subpixel,
+            lr_check, real_w=w,
+        ),
+        grid=(h,),
+        in_specs=[
+            pl.BlockSpec((d, wv), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            spec2(), spec2(), spec2(), spec2(),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, wv), lambda i: (h - 1 - i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, 1, wv), jnp.int16, **vma),
+        scratch_shapes=[pltpu.VMEM((d, wv), acc)],
+        interpret=interpret,
+    )(bt_cin, cost_hdw, slr_hdw, srl_hdw, s_tb)
+    return out.reshape(h, wv)[:, :w]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -94,6 +94,16 @@ def _shift_stack(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return jax.lax.dynamic_slice(xp, (0, py + dy, px + dx), (r, h, w))
 
 
+def _barrier_take(stats: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """stats[:, labels] stat-image gather (one site, so perf experiments
+    on its lowering stay local — the in-context cost at KITTI geometry is
+    ~0.95 ms/frame of gather + relayout copies, r5-profiled; isolated
+    probes of the same shapes run at ~0.04 ms, so the slowdown is XLA
+    layout assignment between the moment-tally and relax pallas calls,
+    not the gather itself)."""
+    return jnp.take(stats, labels, axis=1)
+
+
 def _gaussian_cost(n, s, ss):
     """Gaussian NLL cost from channel-stacked moments; 0 when n == 0.
 
@@ -457,7 +467,7 @@ def relax(
             stats = stats0
             for _ in range(iterations):
                 for phase in range(phases):
-                    stat_img = jnp.take(stats, labels, axis=1)
+                    stat_img = _barrier_take(stats, labels)
                     labels, _ = relax_phase_pallas(
                         labels, stat_img, pixel_rows, row0,
                         phase=phase, **meta
@@ -481,7 +491,7 @@ def relax(
         # image across sweeps, updating changed pixels from the winning
         # candidate's (already shifted) rows — no per-phase gather or
         # scatter at all.
-        stat_img0 = jnp.take(stats0, labels, axis=1)
+        stat_img0 = _barrier_take(stats0, labels)
 
         if use_pallas:
             # Python-unrolled iterations: the kernel calls are compact HLO,

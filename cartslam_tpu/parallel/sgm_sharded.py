@@ -77,6 +77,7 @@ def sgm_disparity_sharded(
     uniqueness: int = 12,
     lr_check: bool = True,
     subpixel: bool = True,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """`stereo.sgm_disparity` on row shards, bit-equal to the full frame.
 
@@ -85,12 +86,31 @@ def sgm_disparity_sharded(
     the cost volume, horizontal sweeps, WTA, uniqueness and LR check are
     row-local (exact); the two vertical sweeps run the carry hand-off
     chain of `_vertical_chain`.
+
+    backend: 'auto' routes to the fused Pallas kernels on TPU (the
+    split-scan chain seeds their carries — ops/pallas/sgm.py::
+    sgm_fused_pallas_sharded) and the XLA scans elsewhere;
+    'pallas_interpret' runs the kernels interpreted (parity tests).
     """
     hc = _CENSUS_HALO
     gl_ext = exchange_row_halo(gray_l, hc, hc, axis_name)
     gr_ext = exchange_row_halo(gray_r, hc, hc, axis_name)
     cl = tuple(c[hc:-hc] for c in stereo.census_transform(gl_ext))
     cr = tuple(c[hc:-hc] for c in stereo.census_transform(gr_ext))
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend in ("pallas", "pallas_interpret"):
+        from ..ops.pallas.sgm import sgm_fused_pallas_sharded
+
+        return sgm_fused_pallas_sharded(
+            cl, cr, axis_name=axis_name,
+            min_disparity=min_disparity,
+            num_disparities=num_disparities,
+            p1=p1, p2=p2, uniqueness=uniqueness,
+            subpixel=subpixel, lr_check=lr_check,
+            interpret=backend == "pallas_interpret",
+        )
 
     cost = stereo.hamming_cost_volume(cl, cr, min_disparity, num_disparities)
     h, w = gray_l.shape

@@ -128,14 +128,29 @@ def _make_stub_module():
 
 
 def run_isolated(frames: int, max_in_flight: int, prefetch: int,
-                 stub: bool):
-    """--preloaded / --stub: RAM-staged frames through the real System."""
+                 stub: bool, device_staged: bool = False):
+    """--preloaded / --stub: RAM-staged frames through the real System.
+
+    device_staged: stage the frame images as jax.Arrays up front, so the
+    jitted step consumes them without a per-frame host->device upload —
+    the dev harness reaches the TPU through a high-latency tunnel where
+    each 2.8 MB upload costs hundreds of ms (vs ~0.4 ms over PCIe on a
+    production host), which would measure the tunnel instead of the
+    System loop (prefetch queue, dispatch, eager fetch threads,
+    retention, snapshots, host updates)."""
     from cartslam_tpu.config.registry import build_system
     from cartslam_tpu.runtime.module import PipelineContext
     from cartslam_tpu.runtime.pipeline import Pipeline
     from cartslam_tpu.runtime.system import System
 
     source = _preloaded_source(frames)
+    if device_staged:
+        import jax
+
+        for f in source.frames:
+            for k in ("left", "right"):
+                f[k] = jax.device_put(np.asarray(f[k]))
+        jax.block_until_ready([f["left"] for f in source.frames])
     if stub:
         h, w = source.get_image_size()
         ctx = PipelineContext(
@@ -153,8 +168,11 @@ def run_isolated(frames: int, max_in_flight: int, prefetch: int,
             snapshot_interval=0,
         )
     n, wall, steady = _timed_run(system)
+    mode = "stub_host_ceiling" if stub else "preloaded_flagship"
+    if device_staged:
+        mode += "_device_staged"
     return {
-        "mode": "stub_host_ceiling" if stub else "preloaded_flagship",
+        "mode": mode,
         "frames": n,
         "wall_s": round(wall, 2),
         "fps_total": round(n / wall, 2),
@@ -195,13 +213,17 @@ def main():
                     help="frames staged in RAM (no PNG decode)")
     ap.add_argument("--stub", action="store_true",
                     help="RAM frames + trivial pipeline: host-loop ceiling")
+    ap.add_argument("--device-staged", action="store_true",
+                    help="with --preloaded/--stub: frames staged on device "
+                    "(isolates the System loop from tunnel upload latency)")
     ap.add_argument("--max-in-flight", type=int, default=4)
     ap.add_argument("--prefetch", type=int, default=12)
     args = ap.parse_args()
 
     if args.preloaded or args.stub:
         r = run_isolated(
-            args.frames, args.max_in_flight, args.prefetch, stub=args.stub
+            args.frames, args.max_in_flight, args.prefetch, stub=args.stub,
+            device_staged=args.device_staged,
         )
         print(json.dumps(r))
         return

@@ -65,3 +65,41 @@ def test_sgm_sharded_bit_equal_any_shard_count(n):
     )
     got = np.asarray(fn(jax.device_put(gl, shard), jax.device_put(gr, shard)))
     np.testing.assert_array_equal(got, want, err_msg=f"{n} shards")
+
+
+@pytest.mark.parametrize("n", [1, 3, 8])
+def test_sgm_sharded_pallas_bit_equal(n):
+    """The fused-Pallas sharded route (TPU path, interpreted here) must be
+    bit-equal to the full-frame op for any shard count, including shard
+    heights that are not multiples of the kernel row blocks (h=48 over 3
+    shards = 16 rows; over 8 = 6 rows < the vertical reach)."""
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip(f"needs {n} devices")
+    h, w = 48, 128
+    gl, gr = _stereo_pair(h, w)
+
+    want = np.asarray(
+        jax.jit(
+            functools.partial(stereo.sgm_disparity, backend="xla", **KW)
+        )(gl, gr)
+    )
+
+    mesh = Mesh(np.array(devs[:n]), (AX,))
+    shard = NamedSharding(mesh, P(AX))
+    local = functools.partial(
+        sgm_disparity_sharded, axis_name=AX, backend="pallas_interpret", **KW
+    )
+    # check_vma=False HERE ONLY (same caveat as test_relax_sharded):
+    # interpret mode discharges the kernels into dynamic_slice chains the
+    # vma checker rejects when scratch (unvarying) mixes with varying
+    # inputs; the compiled TPU path keeps check_vma=True — pallas_call is
+    # opaque there and the out_shape vma declarations carry the types.
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=(P(AX), P(AX)), out_specs=P(AX),
+            check_vma=False,
+        )
+    )
+    got = np.asarray(fn(jax.device_put(gl, shard), jax.device_put(gr, shard)))
+    np.testing.assert_array_equal(got, want, err_msg=f"{n} shards (pallas)")
