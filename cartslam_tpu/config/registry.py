@@ -276,54 +276,20 @@ def _split_multiseq_kwargs(system_kwargs: dict):
 
 
 def _build_spatial_pipeline(parallel: dict, ctx, modules, source_cfg):
-    """Map the standard modules list onto the spatial flagship chain.
+    """Height-shard the configured module list as ONE spatial program.
 
-    The spatial mode implements the flagship preset (disparity ->
-    derivative -> depth -> flow -> superpixels -> superpixel planeseg) as
-    ONE height-sharded program; module parameters transfer 1:1, module
-    types outside that chain are rejected (run them in single-chip or
-    multiseq mode).
+    The SAME modules the single-chip Pipeline would run are composed by
+    `SpatialPipeline` through their `compute_spatial` methods — no
+    parameter transfer, no fixed chain: any module list whose members
+    implement compute_spatial is spatially shardable, and a module that
+    doesn't is rejected with a per-module error (run it in single-chip
+    or multiseq mode).
     """
     import jax
     from jax.sharding import Mesh
 
-    from ..parallel.spatial_flagship import (
-        SpatialFlagshipConfig, SpatialPipeline,
-    )
-
-    by_type = {}
-    for m in modules:
-        name = type(m).__name__
-        if name in by_type:
-            # The standard Pipeline rejects duplicate providers
-            # (runtime/pipeline.py); don't silently keep the last one.
-            raise ValueError(
-                f"spatial mode: duplicate module type {name} in config"
-            )
-        by_type[name] = m
-    supported = {
-        "ImageDisparityModule", "ImageDisparityDerivativeModule",
-        "DepthModule", "ImageOpticalFlowModule", "SuperPixelModule",
-        "SuperPixelDisparityPlaneSegmentationModule",
-    }
-    unsupported = sorted(
-        type(m).__name__ for m in modules if type(m).__name__ not in supported
-    )
-    if unsupported:
-        raise ValueError(
-            f"spatial mode supports only the flagship chain; unsupported "
-            f"modules: {unsupported}"
-        )
-    for need in ("ImageDisparityModule", "SuperPixelModule",
-                 "SuperPixelDisparityPlaneSegmentationModule"):
-        if need not in by_type:
-            raise ValueError(
-                f"spatial mode requires a {need} in the modules list"
-            )
-    disp = by_type["ImageDisparityModule"]
-    sup = by_type["SuperPixelModule"]
-    sp = by_type["SuperPixelDisparityPlaneSegmentationModule"]
-    flow = by_type.get("ImageOpticalFlowModule")
+    from ..models.optflow import ImageOpticalFlowModule
+    from ..parallel.spatial_flagship import SpatialPipeline
 
     n = int(parallel.get("devices", len(jax.devices())))
     seqs = int(parallel.get("sequences", 1))
@@ -345,63 +311,20 @@ def _build_spatial_pipeline(parallel: dict, ctx, modules, source_cfg):
         mesh = Mesh(np.array(jax.devices()[:n]), ("spatial",))
     h_local = ctx.height // n_sp if ctx.height % n_sp == 0 else 0
 
-    kw = dict(
-        height=ctx.height,
-        width=ctx.width,
-        num_disparities=disp.num_disparities,
-        min_disparity=disp.min_disparity,
-        sgm_p1=disp.p1,
-        sgm_p2=disp.p2,
-        uniqueness=disp.uniqueness,
-        smoothing_radius=disp.smoothing_radius,
-        smoothing_iterations=disp.smoothing_iterations,
-        block_size=sup.block_size,
-        iterations=sup.iterations,
-        initial_iterations=sup.initial_iterations,
-        reset_iterations=sup.reset_iterations,
-        image_weight=sup.image_weight,
-        disparity_weight=sup.disparity_weight,
-        compactness_weight=sup.compactness_weight,
-        direct_clique_cost=sup.direct_clique_cost,
-        diagonal_clique_cost=sup.diagonal_clique_cost,
-        progressive_compactness_cost=sup.progressive_compactness_cost,
-        relax_phases=sup.relax_phases,
-        stats_refresh=sup.stats_refresh,
-        temporal_distance=sp.distance,
-        max_warp_y=min(sp.max_warp_y, h_local) if h_local else sp.max_warp_y,
-        max_warp_x=sp.max_warp_x,
-    )
-    if h_local and sp.max_warp_y > h_local:
-        import logging
+    # Flow seam knobs live under `parallel` (they describe the sharding,
+    # not the flow math); apply them to the flow module's spatial attrs.
+    for m in modules:
+        if isinstance(m, ImageOpticalFlowModule):
+            if "flow_mode" in parallel:
+                m.spatial_mode = str(parallel["flow_mode"])
+            if "flow_halo" in parallel:
+                m.spatial_halo = int(parallel["flow_halo"])
+            elif h_local and m.spatial_mode == "sharded":
+                # Approximation-depth default: the apron cannot exceed
+                # one shard's rows.
+                m.spatial_halo = min(m.spatial_halo, h_local)
 
-        logging.getLogger("cart.config").warning(
-            "spatial mode clamps max_warp_y %d -> %d (the halo cannot "
-            "exceed one %d-row shard)", sp.max_warp_y, h_local, h_local
-        )
-    if flow is not None:
-        kw.update(
-            flow_levels=flow.levels, flow_search=flow.search,
-            flow_refine=flow.refine, flow_base_level=flow.base_level,
-            flow_med_passes=flow.med_passes,
-        )
-    # Approximation-depth knobs: halos cannot exceed one shard's rows.
-    if "sgm_halo" in parallel:
-        kw["sgm_halo"] = int(parallel["sgm_halo"])
-    elif h_local:
-        kw["sgm_halo"] = min(24, h_local)
-    if "flow_halo" in parallel:
-        kw["flow_halo"] = int(parallel["flow_halo"])
-    elif h_local:
-        kw["flow_halo"] = min(46, h_local)
-    if "flow_mode" in parallel:
-        kw["flow_mode"] = str(parallel["flow_mode"])
-    kw["grayscale"] = bool(ctx.grayscale)
-    cfg = SpatialFlagshipConfig(**kw)
-    return SpatialPipeline(
-        mesh, ctx, cfg, sp.provider,
-        update_interval=sp.update_interval,
-        reset_interval=sp.reset_interval,
-    )
+    return SpatialPipeline(mesh, ctx, modules)
 
 
 def build_system(
@@ -468,7 +391,7 @@ def build_system(
                     sources,
                     spatial,
                     host_modules,
-                    mesh=spatial.flagship.mesh,
+                    mesh=spatial.mesh,
                     timing=timing,
                     image_sink=image_sink,
                     max_frames=max_frames,

@@ -27,3 +27,12 @@ class DepthModule(Module):
     def compute(self, ctx, step, deps, state, params, variant):
         q = jnp.asarray(ctx.q, jnp.float32)
         return {KEY_DEPTH: dops.reproject_to_3d(deps[KEY_DISPARITY], q)}, {}
+
+    def compute_spatial(self, ctx, step, deps, state, params, variant, sp):
+        # Pointwise in the disparity; only the y coordinate of the
+        # reprojection vector needs the shard's global row offset.
+        q = jnp.asarray(ctx.q, jnp.float32)
+        depth = dops.reproject_to_3d(
+            deps[KEY_DISPARITY], q, row_offset=sp.row0
+        )
+        return {KEY_DEPTH: depth}, {}

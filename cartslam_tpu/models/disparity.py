@@ -80,6 +80,68 @@ class ImageDisparityModule(Module):
             )
         return {KEY_DISPARITY: disp}, {}
 
+    def spatial_validate(self, ctx, n, h_local):
+        if h_local < 3:
+            raise ValueError(
+                f"SGM census needs a 3-row halo; shards have {h_local} rows"
+            )
+
+    def compute_spatial(self, ctx, step, deps, state, params, variant, sp):
+        """Row-shard SGM: bit-exact for any shard count — horizontal
+        sweeps are row-local and the vertical sweeps run the split-scan
+        carry hand-off chain (parallel/sgm_sharded.py), the scale-out
+        analogue of the reference's tiled path kernels
+        (src/modules/disparity/disparity.cu:49-80)."""
+        from ..parallel.sgm_sharded import sgm_disparity_sharded
+
+        left, right = step.frame["left"], step.frame["right"]
+        if not ctx.grayscale:
+            left = color.bgr_to_gray(left)
+            right = color.bgr_to_gray(right)
+        disp = sgm_disparity_sharded(
+            left,
+            right,
+            sp.axis,
+            min_disparity=self.min_disparity,
+            num_disparities=self.num_disparities,
+            p1=self.p1,
+            p2=self.p2,
+            uniqueness=self.uniqueness,
+        )
+        disp = _spatial_smooth(
+            disp, sp,
+            radius=self.smoothing_radius,
+            iterations=self.smoothing_iterations,
+            min_disparity=self.min_disparity * 16,
+            max_disparity=ctx.width,
+        )
+        return {KEY_DISPARITY: disp}, {}
+
+
+def _spatial_smooth(disp, sp, *, radius, iterations, min_disparity,
+                    max_disparity):
+    """Sharded iterative interpolation smoothing (exact).
+
+    One halo exchange PER iteration: the unsharded op re-clamps its edge
+    padding to the current border row every iteration, so a single
+    (radius-1)*iterations halo would drift at the global edges for
+    iterations > 1.  Reach per iteration is radius-1 rows.
+    """
+    if radius <= 0:
+        return disp
+    hr = radius - 1
+    for _ in range(iterations):
+        d_ext = sp.exchange(disp, hr, hr)
+        d_ext = dops.interpolate(
+            d_ext,
+            radius=radius,
+            iterations=1,
+            min_disparity=min_disparity,
+            max_disparity=max_disparity,
+        )
+        disp = d_ext[hr:-hr] if hr else d_ext
+    return disp
+
 
 class ZEDImageDisparityModule(Module):
     name = "ZEDImageDisparity"
@@ -109,4 +171,22 @@ class ZEDImageDisparityModule(Module):
                 min_disparity=1,
                 max_disparity=257,  # disparity.cu:110 passes (1, 256 + 1)
             )
+        return {KEY_DISPARITY: disp}, {}
+
+    def compute_spatial(self, ctx, step, deps, state, params, variant, sp):
+        """The SDK-measure conversion is pointwise, so the ZED chain
+        height-shards too; only the smoothing stencil needs halos."""
+        measure = step.frame["zed_disparity"]
+        finite = jnp.isfinite(measure)
+        vals = jnp.clip(measure * -16.0, -32768, 32767)
+        disp = jnp.where(finite, vals.astype(jnp.int32), DISPARITY_INVALID).astype(
+            jnp.int16
+        )
+        disp = _spatial_smooth(
+            disp, sp,
+            radius=self.smoothing_radius,
+            iterations=self.smoothing_iterations,
+            min_disparity=1,
+            max_disparity=257,
+        )
         return {KEY_DISPARITY: disp}, {}

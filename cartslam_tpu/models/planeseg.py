@@ -201,3 +201,52 @@ class DisparityPlaneSegmentationModule(Module):
         outputs[KEY_PLANES] = smoothed
         outputs[KEY_PLANES_UNSMOOTHED] = planes
         return outputs, {"warp_votes": warp_votes}
+
+    # ------------------------------------------------------ spatial (sharded)
+
+    def spatial_row_dims(self, ctx):
+        return {KEY_FRAME_HIST: None, "warp_votes": 1}
+
+    def spatial_validate(self, ctx, n, h_local):
+        if self.temporal and self.temporal_mode == "faithful":
+            raise ValueError(
+                "spatial mode supports temporal_mode='carried' only"
+            )
+
+    def compute_spatial(self, ctx, step, deps, state, params, variant, sp):
+        """Sharded pixel planeseg: the private low-pass derivative's
+        vertical reach is 3 rows (5-tap mean then +-1 diff,
+        planeseg.cu:31-142) — edge-duplicated halo, exact; the core-row
+        histogram re-tally is psum'd (same bit-equality argument as
+        ImageDisparityDerivativeModule.compute_spatial)."""
+        d_ext = sp.exchange(deps[KEY_DISPARITY], 3, 3)
+        deriv_ext, _ = dops.planeseg_derivative(d_ext)
+        deriv = deriv_ext[3:-3]
+        hist = sp.psum(
+            dops._hist256(deriv.astype(jnp.int32), deriv != -32768)
+        )
+        planes = pops.classify(deriv, params["ranges"])
+        outputs = {KEY_FRAME_HIST: hist}
+
+        if not self.temporal:
+            outputs[KEY_PLANES] = planes
+            return outputs, {}
+
+        ry = min(self.max_warp_y, sp.h_local)
+        prev = step.history(KEY_PLANES_UNSMOOTHED, -1)
+        prev = jnp.where(step.frame_id > 1, prev, np.uint8(pops.WARP_INVALID))
+        prev_ext = sp.exchange(prev, ry, ry, fill=pops.WARP_INVALID)
+        votes_ext = sp.exchange(
+            state["warp_votes"].transpose(1, 0, 2), ry, ry,
+            fill=pops.WARP_INVALID,
+        ).transpose(1, 0, 2)
+        flow_ext = sp.exchange(deps[KEY_OPTFLOW], ry, ry, fill=0)
+        cur_ext = sp.exchange(planes, ry, ry, fill=pops.UNKNOWN)
+        smoothed_ext, warp_ext = pops.temporal_vote_warped(
+            cur_ext, prev_ext, votes_ext, flow_ext,
+            current_weight=1, compare_unknown=False, warp_mode="select",
+            max_warp_y=ry, max_warp_x=self.max_warp_x,
+        )
+        outputs[KEY_PLANES] = smoothed_ext[ry:-ry]
+        outputs[KEY_PLANES_UNSMOOTHED] = planes
+        return outputs, {"warp_votes": warp_ext[:, ry:-ry]}

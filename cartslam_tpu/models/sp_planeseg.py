@@ -211,3 +211,68 @@ class SuperPixelDisparityPlaneSegmentationModule(Module):
             # classification; the temporal vote only feeds the label tally.
             outputs[KEY_PLANES_UNSMOOTHED] = pixel_planes
         return outputs, new_state
+
+    # ------------------------------------------------------ spatial (sharded)
+
+    def spatial_row_dims(self, ctx):
+        # warp_votes stacks the temporal distance ahead of the row axis.
+        return {"warp_votes": 1}
+
+    def spatial_validate(self, ctx, n, h_local):
+        if self.temporal and self.temporal_mode == "faithful":
+            raise ValueError(
+                "spatial mode supports temporal_mode='carried' only (the "
+                "faithful K-gather mode would need K flow-history halos)"
+            )
+        if self.temporal and self.max_warp_y > h_local:
+            import logging
+
+            logging.getLogger("cart.spatial").warning(
+                "spatial mode clamps max_warp_y %d -> %d (the halo cannot "
+                "exceed one %d-row shard)",
+                self.max_warp_y, h_local, h_local,
+            )
+
+    def compute_spatial(self, ctx, step, deps, state, params, variant, sp):
+        """Sharded vote chain: `max_warp_y`-row halos of the packed vote
+        stack with WARP_INVALID fill at global borders — exact for
+        bounded warps ('select' mode is REQUIRED: its displacement bound
+        equals the exchanged halo depth, so every in-bound source row is
+        locally present and the result is identical for any shard
+        count).  The per-label tally counts core rows once, psum'd
+        (sp_planeseg.cu:119-184)."""
+        vert = deps[KEY_DERIVATIVE][..., 0]
+        pixel_planes = pops.classify(vert, params["ranges"])
+
+        new_state = {}
+        if self.temporal:
+            ry = min(self.max_warp_y, sp.h_local)
+            prev = step.history(KEY_PLANES_UNSMOOTHED, -1)
+            prev = jnp.where(
+                step.frame_id > 1, prev, np.uint8(pops.WARP_INVALID)
+            )
+            prev_ext = sp.exchange(prev, ry, ry, fill=pops.WARP_INVALID)
+            votes_ext = sp.exchange(
+                state["warp_votes"].transpose(1, 0, 2), ry, ry,
+                fill=pops.WARP_INVALID,
+            ).transpose(1, 0, 2)
+            flow_ext = sp.exchange(deps[KEY_OPTFLOW], ry, ry, fill=0)
+            cur_ext = sp.exchange(pixel_planes, ry, ry, fill=pops.UNKNOWN)
+            voted_ext, warp_ext = pops.temporal_vote_warped(
+                cur_ext, prev_ext, votes_ext, flow_ext,
+                current_weight=2, compare_unknown=True, warp_mode="select",
+                max_warp_y=ry, max_warp_x=self.max_warp_x,
+            )
+            voted = voted_ext[ry:-ry]
+            new_state["warp_votes"] = warp_ext[:, ry:-ry]
+        else:
+            voted = pixel_planes
+
+        smoothed = pops.superpixel_vote(
+            voted, deps[KEY_SUPERPIXELS], self.num_labels, axis_name=sp.axis
+        )
+
+        outputs = {KEY_PLANES: smoothed}
+        if self.temporal:
+            outputs[KEY_PLANES_UNSMOOTHED] = pixel_planes
+        return outputs, new_state

@@ -165,3 +165,91 @@ class SuperPixelModule(Module):
             KEY_MAX_LABEL: jnp.int32(self.max_label_id),
         }
         return outputs, {"labels": labels}
+
+    # ------------------------------------------------------ spatial (sharded)
+
+    def spatial_validate(self, ctx, n, h_local):
+        ph = max(1, self.relax_phases)
+        for it, name in (
+            (self.iterations, "iterations"),
+            (self.initial_iterations, "initial_iterations"),
+        ):
+            if it * ph > h_local:
+                raise ValueError(
+                    f"superpixels {name}*phases={it * ph} exceeds the "
+                    f"{h_local}-row shard"
+                )
+
+    def compute_spatial(self, ctx, step, deps, state, params, variant, sp):
+        """Sharded contour relaxation: `iterations * phases`-row halos
+        (label influence moves one row per phase update) + psum'd label
+        moments — exact in both 'frame' and 'phase' stats modes; OOB
+        label fills (-1) reproduce image-edge masking at the global
+        borders (ops/superpixels.py:relax)."""
+        left = step.frame["left"]
+        if ctx.grayscale:
+            img = left[..., None].astype(jnp.float32)
+            img_channels = 1
+        else:
+            img = color.bgr_to_ycrcb(left).astype(jnp.float32)
+            img_channels = 3
+
+        iters = (
+            self.initial_iterations
+            if variant in ("initial", "reset")
+            else self.iterations
+        )
+        halo = iters * max(1, self.relax_phases)
+
+        labels = state["labels"]
+        if variant == "reset":
+            # The reference re-initializes the label grid every
+            # resetIterations frames (superpixels.cu:105-113); the global
+            # block grid restricted to this shard's rows.
+            full, _ = spops.block_init_labels(
+                ctx.height, ctx.width, self.block_size, self.block_size
+            )
+            labels = sp.slice_rows(jnp.asarray(full))
+
+        feature_data = []
+        specs = []
+        if self.disparity_weight > 0:
+            feature_data.append(
+                sp.exchange(deps[KEY_DERIVATIVE].astype(jnp.float32),
+                            halo, halo)
+            )
+            specs.append(spops.FeatureSpec("gaussian", self.disparity_weight, 2))
+        feature_data.append(sp.exchange(img, halo, halo))
+        specs.append(spops.FeatureSpec(
+            "gaussian", self.image_weight, img_channels, bounds=(0, 255)
+        ))
+        specs.append(
+            spops.FeatureSpec(
+                "compactness",
+                self.compactness_weight,
+                2,
+                self.progressive_compactness_cost,
+            )
+        )
+        lab_ext = sp.exchange(labels, halo, halo, fill=-1)
+        labels_ext = spops.relax(
+            lab_ext,
+            feature_data,
+            specs,
+            self.num_labels,
+            iters,
+            self.direct_clique_cost,
+            self.diagonal_clique_cost,
+            phases=self.relax_phases,
+            stats_refresh=self.stats_refresh,
+            axis_name=sp.axis,
+            row_offset=sp.row0 - halo,
+            global_h=ctx.height,
+            halo_rows=(halo, halo),
+        )
+        labels = labels_ext[halo:-halo]
+        outputs = {
+            KEY_SUPERPIXELS: labels,
+            KEY_MAX_LABEL: jnp.int32(self.max_label_id),
+        }
+        return outputs, {"labels": labels}

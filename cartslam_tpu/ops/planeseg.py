@@ -225,12 +225,17 @@ def superpixel_vote(
     pixel_planes: jnp.ndarray,
     labels: jnp.ndarray,
     num_labels: int,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """Aggregate per-pixel plane votes per superpixel and paint the winner.
 
     Mirrors sp_planeseg.cu:119-184: per-label counts of each class, winner
     starts at UNKNOWN, VERTICAL replaces it on strictly more votes, then
     HORIZONTAL replaces the running max on strictly more votes.
+
+    axis_name (height-sharded mode): inputs are row shards; the per-label
+    counts are psum'd over the mesh axis before the winner pass — exact
+    integer counts, so bit-equal to the unsharded op for any shard count.
     """
     from .tally import label_tally, table_gather
 
@@ -238,7 +243,7 @@ def superpixel_vote(
     # Vote tally and winner paint both ride the MXU via the two-level
     # one-hot decomposition (ops/tally.py) — exact integer counts, no
     # scatter/gather (TPU scatter/gather cost is per-index).
-    if jax.default_backend() == "tpu":
+    if axis_name is None and jax.default_backend() == "tpu":
         from .pallas.tally import vote_tally_pallas
 
         counts_lc = vote_tally_pallas(
@@ -252,6 +257,8 @@ def superpixel_vote(
         counts_lc = label_tally(flat_labels, oh_votes, num_labels).astype(
             jnp.int32
         )
+    if axis_name is not None:
+        counts_lc = jax.lax.psum(counts_lc, axis_name)
     counts = [counts_lc[:, p] for p in range(PLANE_COUNT)]
 
     best = jnp.full((num_labels,), UNKNOWN, jnp.int32)

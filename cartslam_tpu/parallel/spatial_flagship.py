@@ -1,43 +1,45 @@
-"""Height-sharded flagship step: single-frame latency scaling over a mesh.
+"""Height-sharded pipeline: single-frame latency scaling over a mesh.
 
 MultiSeqSystem (parallel/system.py) scales THROUGHPUT by sharding
-independent sequences; one frame is still chip-local.  This module shards
-a SINGLE frame's rows across a 1-D ``spatial`` mesh axis so the flagship
-chain itself (SGM -> interpolate -> derivative -> depth -> flow ->
-contour relaxation -> temporal vote -> superpixel plane segmentation)
-runs cooperatively on all chips — the scale-out analogue of the
-reference's tiled shared-memory kernels (include/utils/cuda.cuh:59-191),
-with `ppermute` row halos standing in for the tile aprons and `psum` for
-the global reductions (label statistics, vote tallies, histograms).
+independent sequences; one frame is still chip-local.  `SpatialPipeline`
+shards a SINGLE frame's rows across a 1-D ``spatial`` mesh axis so the
+module chain itself runs cooperatively on all chips — the scale-out
+analogue of the reference's tiled shared-memory kernels
+(include/utils/cuda.cuh:59-191), with `ppermute` row halos standing in
+for the tile aprons and `psum` for the global reductions (label
+statistics, vote tallies, histograms).
 
-Seam handling per stage:
-  * SGM: BIT-EXACT for any shard count (r4) — horizontal sweeps are
-    row-local and the vertical sweeps run a split-scan carry hand-off
-    chain (parallel/sgm_sharded.py) instead of the r3 warmup apron.
+There is ONE source of truth for the stage math: the spatial step is the
+production `runtime.pipeline.Pipeline` composition over the SAME module
+list, with each module's ``compute_spatial`` (runtime/module.py) running
+its ``compute`` math on a row shard.  Any module implementing
+``compute_spatial`` is height-shardable from the same JSON config that
+drives the single-chip mode (src/cartconfig.cpp:230-277); seam handling
+lives next to each module's stage math:
+
+  * SGM (models/disparity.py): BIT-EXACT for any shard count —
+    horizontal sweeps are row-local and the vertical sweeps run a
+    split-scan carry hand-off chain (parallel/sgm_sharded.py).
   * interpolate / derivative: edge-duplicated halos, one exchange per
     smoothing iteration — exact (edge duplication IS the ops' clamp
     convention).
-  * optical flow: an apron covering the pyramid's total vertical reach.
-  * contour relaxation: `iterations * phases`-row halos (label influence
-    moves one row per phase update) + psum'd label moments — exact in
-    both 'frame' and 'phase' stats modes (the latter re-tallies + psums
-    per phase); OOB fills (-1) reproduce image-edge masking at the
-    global borders.
-  * temporal vote: `max_warp_y`-row halos of the packed vote stack,
-    WARP_INVALID fill at global borders — exact for bounded warps.
+  * optical flow (models/optflow.py): 'global' mode gathers the ~1 MB
+    gray pair and runs the production pyramid verbatim (bit-exact);
+    'sharded' mode runs per-shard apron pyramids at ~1/n the FLOPs.
+  * contour relaxation (models/superpixels.py): `iterations * phases`-row
+    halos + psum'd label moments — exact in both stats modes.
+  * temporal vote (models/sp_planeseg.py, models/planeseg.py):
+    `max_warp_y`-row halos of the packed vote stack, 'select' warp mode —
+    exact for bounded warps.
   * per-label reductions (stats, votes) count core rows once, psum'd.
 
-Halos must fit in one neighbor shard: halo <= H / n_devices.
+Halos must fit in one neighbor shard: halo <= H / n_devices (each
+module's ``spatial_validate`` enforces its own bound).
 
-Flagship semantics (round 4): the superpixel reset / initial-iteration
-cadence runs as step VARIANTS exactly like the production Pipeline
-(src/modules/superpixels.cu:93-113), depth uses the source's calibration
-Q (replicated runtime param), and the histogram-peak parameter-provider
-cadence (src/modules/planeseg/planeseg.cu:379-458) is driven by the
-standard host_update machinery through `SpatialPipeline`, a
-Pipeline-compatible facade that lets `runtime.System` (and therefore the
-JSON config / CLI, src/cartconfig.cpp:230-277) drive the spatial mode
-directly.
+The parity suite (tests/test_spatial_flagship.py) pins the sharded chain
+against the full-frame production Pipeline bit-for-bit; because both
+modes now trace the same `Module` methods, a new module or knob cannot
+drift between them.
 """
 
 from __future__ import annotations
@@ -46,19 +48,243 @@ import functools
 from typing import NamedTuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import color, depth as depth_ops, derivative as dops
-from ..ops import disparity as dsp, optflow, planeseg as pops
-from ..ops import superpixels as spops
-from ..ops.tally import label_tally, table_gather
-from .halo import exchange_row_halo
-from .sgm_sharded import sgm_disparity_sharded
+from ..runtime.module import PipelineContext, SpatialContext
+from ..runtime.pipeline import Pipeline
+
+
+def _infer_row_dim(shape, height: int) -> int | None:
+    """First dimension whose extent equals the global image height.
+
+    The fallback convention behind Module.spatial_row_dims: state leaves
+    and outputs shard over the mesh axis at their row dimension; arrays
+    with no height-sized dimension stay replicated.
+    """
+    for i, s in enumerate(shape):
+        if s == height:
+            return i
+    return None
+
+
+class SpatialPipeline:
+    """Pipeline-compatible height-sharded composer over real modules.
+
+    Implements the subset of `runtime.pipeline.Pipeline`'s surface that
+    `runtime.System` drives (ctx / modules / init_state /
+    init_host_params / variant / jitted_step / host_fetch_keys /
+    run_step_instrumented), so the standard System loop — prefetch,
+    bounded in-flight queue, watchdog, snapshot recovery, checkpointing,
+    host modules, timing — runs the height-sharded step unchanged, and
+    every host-side module mechanism (provider cadence via host_update,
+    host_state checkpointing) is the production implementation itself.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        ctx: PipelineContext,
+        modules,
+        axis: str = "spatial",
+        seq_axis: str = "seq",
+    ):
+        self.mesh = mesh
+        self.ctx = ctx
+        self.axis = axis
+        self.seq_axis = seq_axis
+        self.inner = Pipeline(ctx, modules)
+        self.modules = self.inner.modules
+        self.n = mesh.shape[axis]
+        if ctx.height % self.n:
+            raise ValueError(
+                f"height {ctx.height} must divide the {self.n}-way "
+                f"'{axis}' mesh axis"
+            )
+        self.h_local = ctx.height // self.n
+        self.sp = SpatialContext(axis, self.n, self.h_local, ctx.height)
+        self._provider = {}
+        for m in self.modules:
+            if not m.supports_spatial():
+                raise ValueError(
+                    f"module {m.name} does not support the spatial "
+                    "latency mode (no compute_spatial); run it in "
+                    "single-chip or multiseq mode"
+                )
+            m.spatial_validate(ctx, self.n, self.h_local)
+            for key in m.provides():
+                self._provider[key] = m
+        self._hp_template = self.inner.init_host_params()
+
+    # ------------------------------------------------- Pipeline interface
+
+    def host_fetch_keys(self):
+        return self.inner.host_fetch_keys()
+
+    def init_state(self):
+        return self.inner.init_state()
+
+    def init_host_params(self):
+        return self.inner.init_host_params()
+
+    def variant(self, frame_id: int) -> tuple:
+        return self.inner.variant(frame_id)
+
+    # ------------------------------------------------------ spec derivation
+
+    def _pspec(self, row_dim: int | None, batched: bool) -> P:
+        lead = (self.seq_axis,) if batched else ()
+        if row_dim is None:
+            return P(*lead)
+        return P(*lead, *([None] * row_dim), self.axis)
+
+    def _output_row_dim(self, key: str) -> int | None:
+        m = self._provider[key]
+        over = m.spatial_row_dims(self.ctx)
+        if key in over:
+            return over[key]
+        spec = m.output_spec(self.ctx).get(key)
+        if spec is None:
+            return None
+        return _infer_row_dim(spec.shape, self.ctx.height)
+
+    def _state_specs(self, batched: bool):
+        mods = {}
+        for m in self.modules:
+            over = m.spatial_row_dims(self.ctx)
+            d = {}
+            for k, v in m.init_state(self.ctx).items():
+                rd = over.get(k, _infer_row_dim(np.shape(v), self.ctx.height))
+                d[k] = self._pspec(rd, batched)
+            mods[m.name] = d
+        hist = {}
+        for key in self.inner.history_depth:
+            rd = self._output_row_dim(key)
+            hist[key] = self._pspec(None if rd is None else rd + 1, batched)
+        return {"modules": mods, "history": hist}
+
+    def state_sharding(self):
+        """NamedSharding tree matching init_state (for jax.device_put)."""
+        return jax.tree.map(
+            lambda s: NamedSharding(self.mesh, s),
+            self._state_specs(False),
+            is_leaf=lambda x: isinstance(x, P),
+        )
+
+    def _frame_specs(self, frame_struct, batched: bool):
+        d = {}
+        for k, shp in frame_struct:
+            core = shp[1:] if batched else shp
+            rd = 0 if (len(core) >= 2 and core[0] == self.ctx.height) else None
+            d[k] = self._pspec(rd, batched)
+        return d
+
+    def _out_keys(self, fetch_keys) -> frozenset:
+        provided = frozenset(self._provider)
+        if fetch_keys is None:
+            return provided
+        return frozenset(fetch_keys) & provided
+
+    # ---------------------------------------------------------------- steps
+
+    @functools.lru_cache(maxsize=64)
+    def _get_jit(self, variant, fetch_keys, frame_struct, batched: bool):
+        out_keys = self._out_keys(fetch_keys)
+        step = self.inner.make_step(variant, out_keys, spatial=self.sp)
+        state_specs = self._state_specs(batched)
+        in_specs = (
+            state_specs,
+            self._frame_specs(frame_struct, batched),
+            jax.tree.map(lambda _: P(), self._hp_template),
+        )
+        out_specs = (
+            state_specs,
+            {k: self._pspec(self._output_row_dim(k), batched)
+             for k in out_keys},
+        )
+
+        if batched:
+            seq = self.seq_axis
+
+            def local(state, frame, host_params):
+                # One sequence per (seq) group: drop the size-1 local
+                # batch, run the row-shard step, re-batch.  Trace
+                # constants (e.g. superpixels_max_label) are promoted to
+                # seq-varying so every output shares one uniform spec.
+                sq = lambda t: jax.tree.map(lambda x: x[0], t)
+                ns, out = step(sq(state), sq(frame), host_params)
+
+                def ex(x):
+                    if seq not in jax.typeof(x).vma:
+                        x = jax.lax.pcast(x, seq, to="varying")
+                    return x[None]
+
+                return jax.tree.map(ex, ns), jax.tree.map(ex, out)
+        else:
+            local = step
+
+        fn = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            # The varying-manual-axes checker guards the whole step (the
+            # r4 sharded-Pallas catch); scan inits inherit their inputs'
+            # varying type (ops/stereo.py, ops/optflow.py).
+            check_vma=True,
+        )
+        return jax.jit(fn, donate_argnums=(0,))
+
+    def _step_caller(self, variant, fetch_keys, batched: bool):
+        fk = None if fetch_keys is None else frozenset(fetch_keys)
+
+        def call(state, frame, host_params):
+            struct = tuple(
+                sorted((k, tuple(np.shape(v))) for k, v in frame.items())
+            )
+            fn = self._get_jit(variant, fk, struct, batched)
+            return fn(state, frame, host_params)
+
+        return call
+
+    def jitted_step(self, variant, fetch_keys=None):
+        return self._step_caller(variant, fetch_keys, batched=False)
+
+    def jitted_batched_step(self, variant, fetch_keys=None):
+        """Composed DP x spatial step for SpatialMultiSeqSystem: a
+        (seq, spatial) 2-D mesh scales BOTH ways at once — independent
+        sequences shard over `seq_axis` while each sequence's frame rows
+        shard over the spatial axis.  The local step is the SAME
+        pipeline step; its collectives name only the spatial axis, so
+        psums/ppermutes stay within each sequence's subgroup."""
+        if self.seq_axis not in self.mesh.shape:
+            raise ValueError(
+                f"mesh must have axes ({self.seq_axis!r}, {self.axis!r})"
+            )
+        return self._step_caller(variant, fetch_keys, batched=True)
+
+    def run_step_instrumented(self, state, frame, host_params, variant,
+                              fetch_keys=None):
+        """Single-row timing: the spatial step is one fused program, so
+        per-module attribution does not exist; emit one 'spatial_step'
+        row instead (use jax.profiler traces for op-level attribution)."""
+        import time as _time
+
+        step = self.jitted_step(variant, frozenset(fetch_keys or ()))
+        t0 = _time.perf_counter()
+        new_state, outputs = step(state, frame, host_params)
+        jax.block_until_ready(outputs)
+        t1 = _time.perf_counter()
+        return new_state, outputs, [("spatial_step", t0, t0, t1)]
 
 
 class SpatialFlagshipConfig(NamedTuple):
+    """Knob bundle for the standalone flagship preset (benchmarks, the
+    multichip dryrun, and the parity tests construct the chain without a
+    JSON config).  `SpatialFlagship` maps it onto the production module
+    list; the config path (config/registry.py) builds `SpatialPipeline`
+    from the real modules directly and does not use this."""
+
     height: int
     width: int
     num_disparities: int = 256
@@ -78,14 +304,10 @@ class SpatialFlagshipConfig(NamedTuple):
     progressive_compactness_cost: float = 0.0
     direct_clique_cost: float = 0.5
     diagonal_clique_cost: float = 0.5 / np.sqrt(2.0)
-    # Relaxation faithfulness knobs (r4): both now shard exactly —
-    # 'phase' stats re-tally + psum per phase; progressive compactness
-    # and the multi-phase checkerboard use global rows.
     relax_phases: int = 1
     stats_refresh: str = "frame"
     temporal_distance: int = 3
-    # Matches the production pipeline / registry default (the r3 spatial
-    # mode ran 16, a silent divergence from the benched chain).
+    # Matches the production pipeline / registry default.
     max_warp_y: int = 32
     max_warp_x: int = 64
     flow_levels: int = 4
@@ -100,13 +322,8 @@ class SpatialFlagshipConfig(NamedTuple):
     # 4-level pyramid after the base_level upsample) plus window margin.
     # Used by flow_mode='sharded' only.
     flow_halo: int = 46
-    # 'global' (default): all_gather the ~1 MB gray pair and run ONE
-    # global-image pyramid identically on every shard — bit-exact for
-    # any shard count (per-shard pyramids shift their decimation grids
-    # at non-power-of-two shard offsets, which kept the temporally
-    # voted planes at a 0.98 agreement gate in r3/r4).  'sharded':
-    # per-shard apron pyramids — ~1/n the flow FLOPs per chip, at the
-    # cost of that approximation.
+    # 'global' (default): bit-exact gathered pyramid; 'sharded':
+    # per-shard apron pyramids (see models/optflow.py).
     flow_mode: str = "global"
     # Whole-pipeline grayscale switch: frames arrive single-channel from
     # the System source boundary (CARTSLAM_IMAGE_MAKE_GRAYSCALE).
@@ -115,491 +332,102 @@ class SpatialFlagshipConfig(NamedTuple):
 
 
 class SpatialFlagship:
-    """Builds the height-sharded flagship step for a given mesh."""
+    """The flagship preset as a ready-made SpatialPipeline.
 
-    def __init__(self, mesh: Mesh, config: SpatialFlagshipConfig):
-        self.mesh = mesh
-        self.cfg = config
-        self.n = mesh.shape[config.axis]
-        if config.height % self.n:
-            raise ValueError("height must divide the spatial axis size")
-        self.h_local = config.height // self.n
-        ph = max(1, config.relax_phases)
-        for halo, name in (
-            (3, "census_halo"),  # 9x7 census window of the exact SGM
-            (config.flow_halo if config.flow_mode == "sharded" else 0,
-             "flow_halo"),
-            (config.iterations * ph, "iterations*phases"),
-            (config.initial_iterations * ph, "initial_iterations*phases"),
-            (config.max_warp_y, "max_warp_y"),
-        ):
-            if halo > self.h_local:
-                raise ValueError(
-                    f"{name}={halo} exceeds the {self.h_local}-row shard"
-                )
-        bx = -(-config.width // config.block_size)
-        by = -(-config.height // config.block_size)
-        self.max_label_id = bx * by
-        self.num_labels = self.max_label_id + 1
-        self.shard = NamedSharding(mesh, P(config.axis))
-        self.repl = NamedSharding(mesh, P())
-        self._steps: dict[str, callable] = {}
-        # Computed eagerly, once: the reset variant re-reads this inside
-        # the traced step (a host constant, never a tracer).
-        labels, _ = spops.block_init_labels(
-            config.height, config.width, config.block_size, config.block_size
-        )
-        self._init_labels = np.asarray(labels)
-
-    # ---------------------------------------------------------------- state
-
-    def _block_labels(self):
-        return self._init_labels
-
-    def init_state(self):
-        c = self.cfg
-        return {
-            "labels": self._block_labels(),
-            "prev_gray": np.zeros((c.height, c.width), np.uint8),
-            "warp_votes": np.full(
-                (c.temporal_distance, c.height, c.width),
-                pops.WARP_INVALID, np.uint8,
-            ),
-            "prev_unsmoothed": np.full(
-                (c.height, c.width), pops.WARP_INVALID, np.uint8
-            ),
-        }
-
-    def init_params(self, ranges=((3, 40), (-6, 3)), q=None):
-        if q is None:
-            q = np.eye(4, dtype=np.float32)
-        return {
-            "ranges": np.asarray(ranges, np.int32),
-            "q": np.asarray(q, np.float32),
-        }
-
-    def variant(self, frame_id: int) -> str:
-        """Superpixel iteration cadence (src/modules/superpixels.cu:93-113),
-        identical to models.SuperPixelModule.variant."""
-        c = self.cfg
-        if frame_id == 1:
-            return "initial"
-        if frame_id % c.reset_iterations == 0:
-            return "reset"
-        return "normal"
-
-    # ----------------------------------------------------------------- step
-
-    def _local_step(self, variant, state, frame, params):
-        c = self.cfg
-        ax = c.axis
-        idx = jax.lax.axis_index(ax)
-        row0 = idx * self.h_local  # global row of the shard's first row
-
-        left, right = frame["left"], frame["right"]
-        frame_id = frame["frame_id"]
-        if c.grayscale:
-            # Whole-pipeline grayscale switch: the System loop already
-            # converted at the source boundary (runtime/system.py), so
-            # frames arrive single-channel (CARTSLAM_IMAGE_MAKE_GRAYSCALE
-            # semantics, src/datasource.cpp:6-16).
-            gray_l, gray_r = left, right
-        else:
-            gray_l = color.bgr_to_gray(left)
-            gray_r = color.bgr_to_gray(right)
-
-        # --- SGM (exact split-scan vertical seams) + interpolation -------
-        disparity = sgm_disparity_sharded(
-            gray_l, gray_r, ax,
-            min_disparity=c.min_disparity,
-            num_disparities=c.num_disparities,
-            p1=c.sgm_p1, p2=c.sgm_p2, uniqueness=c.uniqueness,
-        )
-        if c.smoothing_radius > 0:
-            # One exchange PER iteration: the unsharded op re-clamps its
-            # edge padding to the current border row every iteration, so a
-            # single (r-1)*iters halo would drift at the global edges for
-            # iterations > 1.  Reach per iteration is radius-1 rows.
-            # maxDisparity bound = image width — the production module
-            # reproduces the reference's quirky ctor bound
-            # (disparity.hpp:28-29); the r3 spatial mode used width*16, a
-            # divergence the pipeline-reference parity test caught.
-            hr = c.smoothing_radius - 1
-            for _ in range(c.smoothing_iterations):
-                d_ext = exchange_row_halo(disparity, hr, hr, ax)
-                d_ext = dsp.interpolate(
-                    d_ext,
-                    radius=c.smoothing_radius,
-                    iterations=1,
-                    min_disparity=c.min_disparity * 16,
-                    max_disparity=c.width,
-                )
-                disparity = d_ext[hr:-hr] if hr else d_ext
-
-        # --- derivative + histogram (2-row edge-dup halo; exact) ---------
-        d_ext = exchange_row_halo(disparity, 2, 2, ax)
-        deriv_ext, _ = dops.directional_derivatives(d_ext)
-        deriv = deriv_ext[2:-2]
-        hist = jnp.stack(
-            [
-                dops._hist256(
-                    deriv[..., 0].astype(jnp.int32), deriv[..., 0] != -32768
-                ),
-                dops._hist256(
-                    deriv[..., 1].astype(jnp.int32), deriv[..., 1] != -32768
-                ),
-            ],
-            axis=-1,
-        )
-        hist = jax.lax.psum(hist, ax)
-
-        # --- depth (pointwise, global rows, calibration Q) ---------------
-        depth = depth_ops.reproject_to_3d(
-            disparity, params["q"], row_offset=row0
-        )
-
-        # --- optical flow ------------------------------------------------
-        if c.flow_mode == "global":
-            # Bit-exact: gather the gray pair (~1 MB over ICI) and run the
-            # full-image pyramid identically on every shard, then keep
-            # this shard's rows.  Identical input => identical to the
-            # production Pipeline's dense_flow, bit for bit.
-            cur_full = jax.lax.all_gather(gray_l, ax, axis=0, tiled=True)
-            prev_full = jax.lax.all_gather(
-                state["prev_gray"], ax, axis=0, tiled=True
-            )
-            flow_full = optflow.dense_flow(
-                cur_full, prev_full,
-                levels=c.flow_levels, search=c.flow_search,
-                refine=c.flow_refine, base_level=c.flow_base_level,
-                med_passes=c.flow_med_passes,
-            )
-            flow = optflow.to_s10_5(
-                jax.lax.dynamic_slice_in_dim(
-                    flow_full, row0, self.h_local, 0
-                )
-            )
-        else:
-            # Per-shard apron pyramids (approximate at shard seams).
-            fh = c.flow_halo
-            cur_ext = exchange_row_halo(gray_l, fh, fh, ax)
-            prev_ext = exchange_row_halo(state["prev_gray"], fh, fh, ax)
-            flow_ext = optflow.dense_flow(
-                cur_ext, prev_ext,
-                levels=c.flow_levels, search=c.flow_search,
-                refine=c.flow_refine, base_level=c.flow_base_level,
-                med_passes=c.flow_med_passes,
-            )
-            flow = optflow.to_s10_5(flow_ext[fh:-fh])
-        flow = jnp.where(frame_id > 1, flow, jnp.zeros_like(flow))
-
-        # --- contour relaxation (iterations-row halo, psum'd stats) ------
-        it = (
-            c.initial_iterations
-            if variant in ("initial", "reset")
-            else c.iterations
-        )
-        # Label influence moves one row per PHASE update; the halo must
-        # cover every update of the call.
-        halo = it * max(1, c.relax_phases)
-        labels0 = state["labels"]
-        if variant == "reset":
-            # The reference re-initializes the label grid every
-            # resetIterations frames (superpixels.cu:105-113); the global
-            # block grid restricted to this shard's rows.
-            full = jnp.asarray(self._block_labels())
-            labels0 = jax.lax.dynamic_slice_in_dim(full, row0, self.h_local, 0)
-        if c.grayscale:
-            # 1-channel image feature, matching SuperPixelModule's
-            # ctx.grayscale path.
-            ycrcb = left[..., None].astype(jnp.float32)
-            img_channels = 1
-        else:
-            ycrcb = color.bgr_to_ycrcb(left).astype(jnp.float32)
-            img_channels = 3
-        lab_ext = exchange_row_halo(labels0, halo, halo, ax, fill=-1)
-        deriv_f = deriv.astype(jnp.float32)
-        deriv_ext_f = exchange_row_halo(deriv_f, halo, halo, ax)
-        ycrcb_ext = exchange_row_halo(ycrcb, halo, halo, ax)
-        specs = [
-            spops.FeatureSpec("gaussian", c.disparity_weight, 2),
-            spops.FeatureSpec(
-                "gaussian", c.image_weight, img_channels, bounds=(0, 255)
-            ),
-            spops.FeatureSpec(
-                "compactness", c.compactness_weight, 2,
-                c.progressive_compactness_cost,
-            ),
-        ]
-        labels_ext = spops.relax(
-            lab_ext,
-            [deriv_ext_f, ycrcb_ext],
-            specs,
-            self.num_labels,
-            it,
-            c.direct_clique_cost,
-            c.diagonal_clique_cost,
-            phases=c.relax_phases,
-            stats_refresh=c.stats_refresh,
-            axis_name=ax,
-            row_offset=row0 - halo,
-            global_h=c.height,
-            halo_rows=(halo, halo),
-        )
-        labels = labels_ext[halo:-halo]
-
-        # --- pixel classification + temporal vote ------------------------
-        pixel_planes = pops.classify(deriv[..., 0], params["ranges"])
-        ry = c.max_warp_y
-        prev_un = jnp.where(
-            frame_id > 1, state["prev_unsmoothed"],
-            jnp.uint8(pops.WARP_INVALID),
-        )
-        prev_ext2 = exchange_row_halo(
-            prev_un, ry, ry, ax, fill=pops.WARP_INVALID
-        )
-        votes_ext = exchange_row_halo(
-            state["warp_votes"].transpose(1, 0, 2), ry, ry, ax,
-            fill=pops.WARP_INVALID,
-        ).transpose(1, 0, 2)
-        flow_ext2 = exchange_row_halo(flow, ry, ry, ax, fill=0)
-        cur_ext2 = exchange_row_halo(
-            pixel_planes, ry, ry, ax, fill=pops.UNKNOWN
-        )
-        # 'select' mode is REQUIRED here: its displacement bound equals the
-        # exchanged halo depth, so every in-bound source row is locally
-        # present and the result is identical for any shard count.
-        voted_ext, warp_ext = pops.temporal_vote_warped(
-            cur_ext2, prev_ext2, votes_ext, flow_ext2,
-            current_weight=2, compare_unknown=True, warp_mode="select",
-            max_warp_y=ry, max_warp_x=c.max_warp_x,
-        )
-        voted = voted_ext[ry:-ry]
-        warp_votes = warp_ext[:, ry:-ry]
-
-        # --- superpixel vote (core tally, psum, replicated winner) -------
-        oh_votes = (
-            voted.reshape(-1)[:, None]
-            == jnp.arange(pops.PLANE_COUNT, dtype=jnp.uint8)
-        ).astype(jnp.bfloat16)
-        counts = jax.lax.psum(
-            label_tally(labels.reshape(-1), oh_votes, self.num_labels), ax
-        ).astype(jnp.int32)
-        best = jnp.full((self.num_labels,), pops.UNKNOWN, jnp.int32)
-        best_votes = counts[:, pops.UNKNOWN]
-        take_v = counts[:, pops.VERTICAL] > best_votes
-        best = jnp.where(take_v, pops.VERTICAL, best)
-        best_votes = jnp.where(take_v, counts[:, pops.VERTICAL], best_votes)
-        take_h = counts[:, pops.HORIZONTAL] > best_votes
-        best = jnp.where(take_h, pops.HORIZONTAL, best)
-        planes = table_gather(best, labels).astype(jnp.uint8)
-
-        new_state = {
-            "labels": labels,
-            "prev_gray": gray_l,
-            "warp_votes": warp_votes,
-            "prev_unsmoothed": pixel_planes,
-        }
-        outputs = {
-            "disparity": disparity,
-            "disparity_derivative": deriv,
-            "disparity_derivative_histogram": hist,
-            "depth": depth,
-            "optflow": flow,
-            "superpixels": labels,
-            "superpixels_max_label": jnp.int32(self.max_label_id),
-            "planes": planes,
-            "planes_unsmoothed": pixel_planes,
-        }
-        return new_state, outputs
-
-    def make_batched_step(self, variant: str = "normal",
-                          seq_axis: str = "seq"):
-        """Composed DP x spatial step over a 2-D mesh (seq, spatial).
-
-        Scales BOTH ways at once: independent sequences shard over
-        `seq_axis` (the multiseq throughput axis) while each sequence's
-        frame rows shard over the spatial axis — e.g. a 16-chip slice as
-        2 sequences x 8-way latency sharding.  The local step is the
-        SAME `_local_step`; its collectives name only the spatial axis,
-        so psums/ppermutes stay within each sequence's subgroup.  State
-        and frame pytrees carry a leading per-sequence batch axis of
-        global size = mesh.shape[seq_axis] (one sequence per group).
-        """
-        c = self.cfg
-        mesh = self.mesh
-        if seq_axis not in mesh.shape or c.axis not in mesh.shape:
-            raise ValueError(
-                f"mesh must have axes ({seq_axis!r}, {c.axis!r})"
-            )
-
-        def local(state, frame, params):
-            # One sequence per (seq) group: drop the size-1 local batch.
-            sq = lambda t: jax.tree.map(lambda x: x[0], t)
-            new_state, out = self._local_step(
-                variant, sq(state), sq(frame), params
-            )
-            ex = lambda t: jax.tree.map(lambda x: x[None], t)
-            return ex(new_state), ex(out)
-
-        sp = lambda *rest: P(seq_axis, *rest)
-        specs_state = {
-            "labels": sp(c.axis), "prev_gray": sp(c.axis),
-            "warp_votes": sp(None, c.axis), "prev_unsmoothed": sp(c.axis),
-        }
-        specs_frame = {
-            "left": sp(c.axis), "right": sp(c.axis), "frame_id": sp(),
-        }
-        out_specs = (
-            specs_state,
-            {
-                "disparity": sp(c.axis), "disparity_derivative": sp(c.axis),
-                "disparity_derivative_histogram": sp(), "depth": sp(c.axis),
-                "optflow": sp(c.axis), "superpixels": sp(c.axis),
-                "superpixels_max_label": P(),
-                "planes": sp(c.axis), "planes_unsmoothed": sp(c.axis),
-            },
-        )
-        fn = jax.shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(specs_state, specs_frame, {"ranges": P(), "q": P()}),
-            out_specs=out_specs,
-            check_vma=True,
-        )
-        return jax.jit(fn, donate_argnums=(0,))
-
-    def make_step(self, variant: str = "normal"):
-        if variant in self._steps:
-            return self._steps[variant]
-        c = self.cfg
-        specs_state = {
-            "labels": P(c.axis), "prev_gray": P(c.axis),
-            "warp_votes": P(None, c.axis), "prev_unsmoothed": P(c.axis),
-        }
-        specs_frame = {
-            "left": P(c.axis), "right": P(c.axis), "frame_id": P(),
-        }
-        out_specs = (
-            specs_state,
-            {
-                "disparity": P(c.axis), "disparity_derivative": P(c.axis),
-                "disparity_derivative_histogram": P(), "depth": P(c.axis),
-                "optflow": P(c.axis), "superpixels": P(c.axis),
-                "superpixels_max_label": P(),
-                "planes": P(c.axis), "planes_unsmoothed": P(c.axis),
-            },
-        )
-        fn = jax.shard_map(
-            functools.partial(self._local_step, variant),
-            mesh=self.mesh,
-            in_specs=(specs_state, specs_frame,
-                      {"ranges": P(), "q": P()}),
-            out_specs=out_specs,
-            # r4: the scan inits in stereo/_aggregate_scan and
-            # optflow/_search_level_scan now inherit their inputs' varying
-            # type, so the varying-manual-axes checker guards the whole
-            # step (VERDICT r3 item 8).
-            check_vma=True,
-        )
-        step = jax.jit(fn, donate_argnums=(0,))
-        self._steps[variant] = step
-        return step
-
-
-class SpatialPipeline:
-    """Pipeline-compatible facade over SpatialFlagship.
-
-    Implements the subset of `runtime.pipeline.Pipeline`'s surface that
-    `runtime.System` drives (ctx / init_state / init_host_params /
-    variant / jitted_step / modules / host_fetch_keys), so the standard
-    System loop — prefetch, bounded in-flight queue, watchdog, snapshot
-    recovery, checkpointing, host modules, timing — runs the
-    height-sharded step unchanged.  The provider cadence reuses the REAL
-    SuperPixelDisparityPlaneSegmentationModule host machinery (running
-    histogram, peak provider, `ranges` host param), so spatial and
-    single-chip modes share one implementation of the reference's
-    updatePlaneParameters loop (planeseg.cu:379-458).
+    Builds the SAME six production modules the benched single-chip
+    flagship runs (disparity -> derivative -> depth -> flow ->
+    superpixels -> superpixel planeseg) and height-shards them over
+    `mesh` — a convenience for benchmarks and the multichip dryrun; the
+    step math lives entirely in the modules' compute_spatial methods.
     """
 
-    def __init__(
-        self,
-        mesh: Mesh,
-        ctx,
-        cfg: SpatialFlagshipConfig,
-        provider,
-        update_interval: int = 30,
-        reset_interval: int = 10,
-    ):
-        from ..models.sp_planeseg import (
-            SuperPixelDisparityPlaneSegmentationModule,
+    def __init__(self, mesh: Mesh, config: SpatialFlagshipConfig,
+                 q=None, ranges=((3, 40), (-6, 3))):
+        from .. import models
+        from ..utils.plane_params import StaticPlaneParameterProvider
+
+        c = config
+        self.cfg = c
+        self.mesh = mesh
+        if q is None:
+            q = np.eye(4, dtype=np.float32)
+        ctx = PipelineContext(
+            height=c.height, width=c.width,
+            q=np.asarray(q, np.float32), grayscale=c.grayscale,
         )
-
-        self.ctx = ctx
-        self.flagship = SpatialFlagship(mesh, cfg)
-        self._sp_host = SuperPixelDisparityPlaneSegmentationModule(
-            provider,
-            num_labels=self.flagship.num_labels,
-            update_interval=update_interval,
-            reset_interval=reset_interval,
+        sup = models.SuperPixelModule(
+            (c.height, c.width),
+            initial_iterations=c.initial_iterations,
+            iterations=c.iterations,
+            block_size=c.block_size,
+            reset_iterations=c.reset_iterations,
+            direct_clique_cost=c.direct_clique_cost,
+            diagonal_clique_cost=c.diagonal_clique_cost,
+            compactness_weight=c.compactness_weight,
+            progressive_compactness_cost=c.progressive_compactness_cost,
+            image_weight=c.image_weight,
+            disparity_weight=c.disparity_weight,
+            relax_phases=c.relax_phases,
+            stats_refresh=c.stats_refresh,
         )
-        self.modules = [self._sp_host]
+        modules = [
+            models.ImageDisparityModule(
+                (c.height, c.width),
+                min_disparity=c.min_disparity,
+                num_disparities=c.num_disparities,
+                smoothing_radius=c.smoothing_radius,
+                smoothing_iterations=c.smoothing_iterations,
+                p1=c.sgm_p1, p2=c.sgm_p2, uniqueness=c.uniqueness,
+            ),
+            models.ImageDisparityDerivativeModule(),
+            models.DepthModule(),
+            models.ImageOpticalFlowModule(
+                (c.height, c.width),
+                levels=c.flow_levels, search=c.flow_search,
+                refine=c.flow_refine, base_level=c.flow_base_level,
+                med_passes=c.flow_med_passes,
+                spatial_mode=c.flow_mode, spatial_halo=c.flow_halo,
+            ),
+            sup,
+            models.SuperPixelDisparityPlaneSegmentationModule(
+                StaticPlaneParameterProvider(*ranges),
+                num_labels=sup.num_labels,
+                use_temporal_smoothing=True,
+                temporal_smoothing_distance=c.temporal_distance,
+                warp_mode="select",
+                max_warp_y=c.max_warp_y, max_warp_x=c.max_warp_x,
+            ),
+        ]
+        self.pipeline = SpatialPipeline(mesh, ctx, modules, axis=c.axis)
+        self.h_local = self.pipeline.h_local
+        self.max_label_id = sup.max_label_id
+        self.num_labels = sup.num_labels
 
-    # ------------------------------------------------- Pipeline interface
-
-    def host_fetch_keys(self):
-        keys = set()
-        for m in self.modules:
-            keys.update(m.host_fetch_keys())
-        return keys
+    # ------------------------------------------------------------- surface
 
     def init_state(self):
-        return self.flagship.init_state()
+        return self.pipeline.init_state()
 
-    def init_host_params(self):
-        params = {m.name: m.initial_host_params(self.ctx) for m in self.modules}
-        params["_spatial"] = {"q": np.asarray(self.ctx.q, np.float32)}
-        return params
+    def state_sharding(self):
+        return self.pipeline.state_sharding()
 
-    def variant(self, frame_id: int) -> str:
-        return self.flagship.variant(frame_id)
+    def init_params(self):
+        return self.pipeline.init_host_params()
 
-    @functools.lru_cache(maxsize=8)
-    def jitted_step(self, variant: str, fetch_keys: frozenset):
-        return self._wrap_step(self.flagship.make_step(variant), fetch_keys)
+    def variant(self, frame_id: int) -> tuple:
+        return self.pipeline.variant(frame_id)
 
-    @functools.lru_cache(maxsize=8)
-    def jitted_batched_step(self, variant: str, fetch_keys: frozenset):
-        """Composed (seq, spatial) step for SpatialMultiSeqSystem."""
-        return self._wrap_step(
-            self.flagship.make_batched_step(variant), fetch_keys
-        )
+    def _variant_arg(self, variant):
+        if variant is None:
+            variant = "normal"
+        if isinstance(variant, str):
+            fid = {"initial": 1, "reset": self.cfg.reset_iterations,
+                   "normal": self.cfg.reset_iterations + 1}[variant]
+            return self.pipeline.variant(fid)
+        return variant
 
-    def _wrap_step(self, raw, fetch_keys):
-        sp_name = self._sp_host.name
+    def make_step(self, variant=None):
+        return self.pipeline.jitted_step(self._variant_arg(variant))
 
-        def step(state, frame, host_params):
-            params = {
-                "ranges": jnp.asarray(
-                    host_params[sp_name]["ranges"], jnp.int32
-                ),
-                "q": host_params["_spatial"]["q"],
-            }
-            new_state, out = raw(state, frame, params)
-            return new_state, {k: v for k, v in out.items() if k in fetch_keys}
-
-        return step
-
-    def run_step_instrumented(self, state, frame, host_params, variant,
-                              fetch_keys=None):
-        """Single-row timing: the spatial step is one fused program, so
-        per-module attribution does not exist; emit one 'spatial_step'
-        row instead (use jax.profiler traces for op-level attribution)."""
-        import time as _time
-
-        step = self.jitted_step(variant, frozenset(fetch_keys or ()))
-        t0 = _time.perf_counter()
-        new_state, outputs = step(state, frame, host_params)
-        jax.block_until_ready(outputs)
-        t1 = _time.perf_counter()
-        return new_state, outputs, [("spatial_step", t0, t0, t1)]
+    def make_batched_step(self, variant=None, seq_axis: str = "seq"):
+        return self.pipeline.jitted_batched_step(self._variant_arg(variant))

@@ -75,6 +75,47 @@ class StepContext:
         return jax.numpy.minimum(self.frame_id - 1, k)
 
 
+class SpatialContext:
+    """Row-sharded execution context for ``Module.compute_spatial``.
+
+    The spatial latency mode (parallel/spatial_flagship.py) runs the SAME
+    module list as the production Pipeline inside a ``shard_map`` over a
+    1-D mesh axis, each shard owning ``h_local`` consecutive image rows.
+    This object is the only thing that distinguishes a spatial trace from
+    a single-chip trace: halo exchanges stand in for the reference's CUDA
+    shared-memory tile aprons (include/utils/cuda.cuh:59-191) and ``psum``
+    for its global reductions.
+    """
+
+    def __init__(self, axis: str, n: int, h_local: int, global_h: int):
+        self.axis = axis
+        self.n = n
+        self.h_local = h_local
+        self.global_h = global_h
+
+    @property
+    def row0(self) -> jax.Array:
+        """Traced global row index of this shard's first row."""
+        return jax.lax.axis_index(self.axis) * self.h_local
+
+    def exchange(self, x, up: int, down: int, fill="edge") -> jax.Array:
+        """Extend a row shard with `up`/`down` neighbor rows over ICI."""
+        from ..parallel.halo import exchange_row_halo
+
+        return exchange_row_halo(x, up, down, self.axis, fill=fill)
+
+    def psum(self, x):
+        return jax.lax.psum(x, self.axis)
+
+    def all_gather_rows(self, x) -> jax.Array:
+        """Reassemble the full-height array on every shard (axis 0)."""
+        return jax.lax.all_gather(x, self.axis, axis=0, tiled=True)
+
+    def slice_rows(self, full) -> jax.Array:
+        """This shard's rows of a full-height array (axis 0)."""
+        return jax.lax.dynamic_slice_in_dim(full, self.row0, self.h_local, 0)
+
+
 class Module:
     """A compute module: pure function from named arrays to named arrays."""
 
@@ -150,6 +191,51 @@ class Module:
     ) -> tuple[dict[str, jax.Array], dict[str, jax.Array]]:
         """Returns (outputs keyed by provided names, new state)."""
         raise NotImplementedError
+
+    # ------------------------------------------------------ spatial (sharded)
+
+    def compute_spatial(
+        self,
+        ctx: PipelineContext,
+        step: StepContext,
+        deps: Mapping[str, jax.Array],
+        state: Mapping[str, jax.Array],
+        params: Mapping[str, jax.Array],
+        variant: Hashable,
+        sp: SpatialContext,
+    ) -> tuple[dict[str, jax.Array], dict[str, jax.Array]]:
+        """`compute` on a row shard inside the spatial latency mode.
+
+        Every array (deps, state leaves, history, frame images, outputs)
+        is this shard's `sp.h_local` consecutive rows; halo rows come from
+        `sp.exchange` and global reductions from `sp.psum`.  The contract
+        is the production `compute`'s math restricted to the shard — the
+        parity suite (tests/test_spatial_flagship.py) pins the sharded
+        chain bit-for-bit against the full-frame Pipeline.
+        """
+        raise NotImplementedError(
+            f"module {self.name} does not support the spatial latency "
+            "mode (no compute_spatial); run it in single-chip or multiseq "
+            "mode"
+        )
+
+    def supports_spatial(self) -> bool:
+        return type(self).compute_spatial is not Module.compute_spatial
+
+    def spatial_row_dims(self, ctx: PipelineContext) -> dict[str, int | None]:
+        """Row-axis index overrides for state leaves and output keys.
+
+        The spatial composer shards every state leaf and output over the
+        mesh axis at the dimension whose extent equals ctx.height (first
+        match); keys mapped to None here stay replicated (e.g. global
+        histograms emitted via psum), and explicit indices resolve
+        ambiguous shapes.
+        """
+        return {}
+
+    def spatial_validate(self, ctx: PipelineContext, n: int, h_local: int):
+        """Raise if this module cannot run at `h_local` rows per shard
+        (halo depths exceeding one neighbor shard, etc.)."""
 
 
 class HostModule:

@@ -114,11 +114,22 @@ class Pipeline:
 
     # ------------------------------------------------------------------- step
 
-    def make_step(self, variant: tuple, fetch_keys: frozenset[str] | None = None):
+    def make_step(
+        self,
+        variant: tuple,
+        fetch_keys: frozenset[str] | None = None,
+        spatial=None,
+    ):
         """Build the (unjitted) step function for a given static variant.
 
         fetch_keys limits returned outputs (history/state still updated for
         all keys); None returns everything.
+
+        spatial: a SpatialContext makes this the row-shard body of the
+        spatial latency mode — the SAME module list and composition logic,
+        with each module's `compute_spatial` running on its shard of rows
+        (parallel/spatial_flagship.py wraps the result in a shard_map).
+        One source of truth for the stage math in both modes.
         """
 
         def step(state, frame, host_params):
@@ -136,13 +147,18 @@ class Pipeline:
                             raise PipelineError(
                                 f"{m.name}: '{dep.key}' not computed yet"
                             )
-                outputs, mstate = m.compute(
+                args = (
                     self.ctx,
                     step_ctx,
                     deps,
                     state["modules"].get(m.name, {}),
                     host_params.get(m.name, {}),
                     var,
+                )
+                outputs, mstate = (
+                    m.compute(*args)
+                    if spatial is None
+                    else m.compute_spatial(*args, spatial)
                 )
                 new_mod_state[m.name] = mstate
                 available.update(outputs)

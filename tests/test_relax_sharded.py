@@ -162,10 +162,13 @@ def test_spatial_mode_faithful_knobs_config_reachable(mesh, tmp_path):
     path.write_text(json.dumps(config))
     system = read_system_config(str(path), extra_fetch_keys=["superpixels"])
     assert isinstance(system.pipeline, SpatialPipeline)
-    cfg = system.pipeline.flagship.cfg
-    assert cfg.stats_refresh == "phase"
-    assert cfg.relax_phases == 2
-    assert cfg.progressive_compactness_cost == 1.0
+    from cartslam_tpu.models.superpixels import SuperPixelModule
+
+    sup = [m for m in system.pipeline.modules
+           if isinstance(m, SuperPixelModule)][0]
+    assert sup.stats_refresh == "phase"
+    assert sup.relax_phases == 2
+    assert sup.progressive_compactness_cost == 1.0
     n = system.run()
     assert n == 2
     assert system.failed_frames == []

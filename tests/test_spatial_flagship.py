@@ -156,16 +156,10 @@ def test_spatial_matches_production_pipeline(mesh, flow_mode):
 
     ref = _pipeline_reference(cfg, frames, q)
 
-    sf = SpatialFlagship(mesh, cfg)
+    sf = SpatialFlagship(mesh, cfg, q=q, ranges=_RANGES)
     shard = NamedSharding(mesh, P("spatial"))
-    state = {
-        k: jax.device_put(
-            v, NamedSharding(mesh, P(None, "spatial"))
-            if k == "warp_votes" else shard
-        )
-        for k, v in sf.init_state().items()
-    }
-    params = sf.init_params(ranges=_RANGES, q=q)
+    state = jax.device_put(sf.init_state(), sf.state_sharding())
+    params = sf.init_params()
 
     with mesh:
         for i, f in enumerate(frames):
@@ -257,31 +251,32 @@ def test_spatial_mode_config_reachable(mesh, tmp_path):
     assert seen[5] == (h, w)
     # The provider cadence ran: update_interval=2 refreshes ranges at
     # frames 1, 3, 5 from the accumulated histogram.
-    sp = system.pipeline.modules[0]
+    from cartslam_tpu.models.sp_planeseg import (
+        SuperPixelDisparityPlaneSegmentationModule,
+    )
+
+    sp = [m for m in system.pipeline.modules
+          if isinstance(m, SuperPixelDisparityPlaneSegmentationModule)][0]
     assert sp._running is not None
     ranges = sp.provider.get().ranges_array()
     assert ranges.shape == (2, 2)
 
 
 def test_spatial_rejects_unsupported_modules(mesh):
+    """Modules without a compute_spatial (ORB features' static top-K is
+    not row-decomposable) are rejected per-module with a clear error —
+    the old fixed-chain whitelist is gone (any module list whose members
+    implement compute_spatial shards)."""
     from cartslam_tpu.config.registry import build_system
 
     cfg = {
         "data_source": {"type": "synthetic", "image_size": [96, 128]},
     }
-    provider = {"type": "static",
-                "horizontal_range_min": 3, "horizontal_range_max": 40,
-                "vertical_range_min": -6, "vertical_range_max": 3}
     mods = [
         {"type": "disparity", "num_disparities": 32},
-        {"type": "superpixels", "block_size": 8},
-        # Pixel-level planeseg is outside the spatial flagship chain
-        # (host-side modules like planecluster remain allowed).
-        {"type": "disparity_planeseg", "parameter_provider": provider},
-        {"type": "superpixel_disparity_planeseg",
-         "parameter_provider": provider},
+        {"type": "features"},
     ]
-    with pytest.raises(ValueError, match="unsupported"):
+    with pytest.raises(ValueError, match="compute_spatial"):
         build_system(
             cfg["data_source"], mods, parallel={"mode": "spatial"}
         )
@@ -307,9 +302,9 @@ def test_composed_seq_x_spatial_mesh(mesh):
 
     # Reference: the 1-D spatial flagship per sequence.
     def run_1d(frames):
-        sf = SpatialFlagship(mesh1d, cfg)
+        sf = SpatialFlagship(mesh1d, cfg, ranges=_RANGES)
         state = jax.device_put(sf.init_state())
-        params = sf.init_params(ranges=_RANGES)
+        params = sf.init_params()
         outs = []
         with mesh1d:
             for i, f in enumerate(frames):
@@ -323,10 +318,9 @@ def test_composed_seq_x_spatial_mesh(mesh):
     ref_a = run_1d(frames_a)
     ref_b = run_1d(frames_b)
 
-    sf2 = SpatialFlagship(mesh2d, cfg)
-    params = sf2.init_params(ranges=_RANGES)
-    state1 = sf2.init_state()
-    state = {k: np.stack([v, v]) for k, v in state1.items()}
+    sf2 = SpatialFlagship(mesh2d, cfg, ranges=_RANGES)
+    params = sf2.init_params()
+    state = jax.tree.map(lambda v: np.stack([v, v]), sf2.init_state())
     with mesh2d:
         for i in range(2):
             step = sf2.make_batched_step(sf2.variant(i + 1))

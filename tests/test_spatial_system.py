@@ -31,6 +31,15 @@ def mesh():
     return Mesh(np.array(devs[:8]), ("spatial",))
 
 
+def _sp_module(system):
+    from cartslam_tpu.models.sp_planeseg import (
+        SuperPixelDisparityPlaneSegmentationModule,
+    )
+
+    return [m for m in system.pipeline.modules
+            if isinstance(m, SuperPixelDisparityPlaneSegmentationModule)][0]
+
+
 def test_spatial_checkpoint_resume(mesh, tmp_path):
     """Spatial-mode checkpoint/resume reproduces the uninterrupted run.
 
@@ -88,12 +97,10 @@ def test_spatial_checkpoint_resume(mesh, tmp_path):
     assert resumed.run() == 2  # frames 4..5
     got = resumed.final_state
 
-    for key in ("labels", "prev_gray", "warp_votes", "prev_unsmoothed"):
-        np.testing.assert_array_equal(got[key], ref[key], err_msg=key)
+    jax.tree.map(np.testing.assert_array_equal, got, ref)
     # Host state (the accumulating derivative histogram) survives too.
     np.testing.assert_array_equal(
-        resumed.pipeline.modules[0]._running,
-        full.pipeline.modules[0]._running,
+        _sp_module(resumed)._running, _sp_module(full)._running
     )
 
 
@@ -146,12 +153,12 @@ def test_composed_checkpoint_resume(mesh, tmp_path):
     assert resumed.run() == 2 * 2  # frames 3..4 on both sequences
     got = resumed.final_state
 
-    for key in ("labels", "prev_gray", "warp_votes", "prev_unsmoothed"):
-        assert got[key].shape[0] == 2, key  # per-sequence leading axis
-        np.testing.assert_array_equal(got[key], ref[key], err_msg=key)
+    # Per-sequence leading axis on every carried leaf.
+    labels = got["modules"]["SuperPixelDetect"]["labels"]
+    assert labels.shape[0] == 2
+    jax.tree.map(np.testing.assert_array_equal, got, ref)
     np.testing.assert_array_equal(
-        resumed.pipeline.modules[0]._running,
-        full.pipeline.modules[0]._running,
+        _sp_module(resumed)._running, _sp_module(full)._running
     )
 
 
